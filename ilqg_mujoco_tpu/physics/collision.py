@@ -1,0 +1,218 @@
+"""Narrow-phase collision for the geom-type pairs used by the reference
+assets: plane-sphere, plane-capsule, sphere-sphere, sphere-capsule,
+capsule-capsule.
+
+Broad-phase is *static*: Model.pair_geom1/2 enumerates every
+contype/conaffinity-compatible geom pair at compile time (mjcf.py), and each
+pair contributes a fixed number of contact slots — so the contact arrays have
+static shapes and the whole pipeline stays jit/vmap-friendly (no dynamic
+contact counts, unlike mjData.contact).  Inactive slots are masked with
+``dist = +inf``-like large values and ``included = False``.
+
+Contact frame rows are [normal; tangent1; tangent2]; the normal points from
+geom1 into geom2 (MuJoCo convention), so normal relative velocity
+n·(v2 - v1) > 0 means separating.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .model import (GEOM_CAPSULE, GEOM_PLANE, GEOM_SPHERE, Model)
+
+_BIG = 1e10
+
+
+class Contacts(NamedTuple):
+    """Static-shape contact slots (ncon_max total)."""
+    dist: jnp.ndarray    # (ncon,)  negative = penetrating
+    pos: jnp.ndarray     # (ncon,3) midpoint contact position
+    frame: jnp.ndarray   # (ncon,3,3) rows [n, t1, t2]
+    # static per-slot metadata (numpy, fixed at compile):
+    body1: np.ndarray    # (ncon,) int
+    body2: np.ndarray    # (ncon,) int
+    condim: np.ndarray   # (ncon,) int
+    friction: np.ndarray  # (ncon,3) tangential/rolling (mu1 used)
+    solref: np.ndarray   # (ncon,2)
+    solimp: np.ndarray   # (ncon,5)
+    margin: np.ndarray   # (ncon,)
+    gap: np.ndarray      # (ncon,)
+
+
+def _make_tangents(n):
+    """MuJoCo mju_makeFrame tangents: t1 = normalize(n x e_k) with
+    k = argmin |n_k| (ties -> lowest index), t2 = n x t1.  Exact match
+    matters because pyramidal friction cones are not rotation-invariant."""
+    a = jnp.abs(n)
+    use_x = (a[0] <= a[1]) & (a[0] <= a[2])
+    use_y = jnp.logical_not(use_x) & (a[1] <= a[2])
+    e = jnp.where(use_x, jnp.asarray([1.0, 0, 0], n.dtype),
+                  jnp.where(use_y, jnp.asarray([0.0, 1, 0], n.dtype),
+                            jnp.asarray([0.0, 0, 1], n.dtype)))
+    t1 = jnp.cross(n, e)
+    t1 = t1 / jnp.linalg.norm(t1)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _axis_tangents(n, axis):
+    """Plane-capsule frame: t1 = -normalize(axis projected into the plane),
+    falling back to mju_makeFrame when the capsule is normal to the plane."""
+    proj = axis - n * jnp.dot(n, axis)
+    nrm = jnp.linalg.norm(proj)
+    tm1, tm2 = _make_tangents(n)
+    ok = nrm > 1e-10
+    t1 = jnp.where(ok, -proj / jnp.where(ok, nrm, 1.0), tm1)
+    t2 = jnp.where(ok, jnp.cross(n, t1), tm2)
+    return t1, t2
+
+
+def _plane_sphere(ppos, pmat, c, r):
+    n = pmat[:, 2]
+    dist = jnp.dot(n, c - ppos) - r
+    pos = c - n * (r + 0.5 * dist)
+    return dist, pos, n
+
+
+def _seg_seg_closest(p1, d1, hl1, p2, d2, hl2):
+    """Closest points between segments (p ± hl*d), d unit."""
+    r = p1 - p2
+    a = 1.0
+    b = jnp.dot(d1, d2)
+    f = jnp.dot(d2, r)
+    cdot = jnp.dot(d1, r)
+    denom = a - b * b
+    # parallel-safe
+    s = jnp.where(jnp.abs(denom) > 1e-12,
+                  jnp.clip((b * f - cdot) / jnp.where(
+                      jnp.abs(denom) > 1e-12, denom, 1.0), -hl1, hl1),
+                  0.0)
+    t = jnp.clip(b * s + f, -hl2, hl2)
+    s = jnp.clip(b * t - cdot, -hl1, hl1)
+    return p1 + s * d1, p2 + t * d2
+
+
+def _sphere_sphere(c1, r1, c2, r2):
+    d = c2 - c1
+    nrm = jnp.linalg.norm(d)
+    n = d / jnp.where(nrm > 1e-12, nrm, 1.0)
+    n = jnp.where(nrm > 1e-12, n, jnp.asarray([0.0, 0, 1], c1.dtype))
+    dist = nrm - (r1 + r2)
+    pos = c1 + n * (r1 + 0.5 * dist)
+    return dist, pos, n
+
+
+def collide(model: Model, geom_xpos, geom_xmat) -> Contacts:
+    """Evaluate every static candidate pair; returns fixed-size Contacts."""
+    dt = geom_xpos.dtype
+    dists: List = []
+    poss: List = []
+    frames: List = []
+    meta: List = []   # (b1, b2, condim, friction, solref, solimp, margin, gap)
+
+    def add(g1, g2, dist, pos, n, axis=None):
+        if axis is None:
+            t1, t2 = _make_tangents(n)
+        else:
+            t1, t2 = _axis_tangents(n, axis)
+        dists.append(dist)
+        poss.append(pos)
+        frames.append(jnp.stack([n, t1, t2]))
+        meta.append(_combine(model, g1, g2))
+
+    for g1, g2 in zip(model.pair_geom1, model.pair_geom2):
+        g1, g2 = int(g1), int(g2)
+        t1g, t2g = int(model.geom_type[g1]), int(model.geom_type[g2])
+        p1, R1 = geom_xpos[g1], geom_xmat[g1]
+        p2, R2 = geom_xpos[g2], geom_xmat[g2]
+        s1, s2 = model.geom_size[g1], model.geom_size[g2]
+        if t1g == GEOM_PLANE and t2g == GEOM_SPHERE:
+            d, pos, n = _plane_sphere(p1, R1, p2, float(s2[0]))
+            add(g1, g2, d, pos, n)
+        elif t1g == GEOM_PLANE and t2g == GEOM_CAPSULE:
+            axis = R2[:, 2]
+            for sgn in (1.0, -1.0):
+                c = p2 + sgn * float(s2[1]) * axis
+                d, pos, n = _plane_sphere(p1, R1, c, float(s2[0]))
+                add(g1, g2, d, pos, n, axis=axis)
+        elif t1g == GEOM_SPHERE and t2g == GEOM_SPHERE:
+            d, pos, n = _sphere_sphere(p1, float(s1[0]), p2, float(s2[0]))
+            add(g1, g2, d, pos, n)
+        elif t1g == GEOM_SPHERE and t2g == GEOM_CAPSULE:
+            axis = R2[:, 2]
+            t = jnp.clip(jnp.dot(p1 - p2, axis),
+                         -float(s2[1]), float(s2[1]))
+            c2 = p2 + t * axis
+            d, pos, n = _sphere_sphere(p1, float(s1[0]), c2, float(s2[0]))
+            add(g1, g2, d, pos, n)
+        elif t1g == GEOM_CAPSULE and t2g == GEOM_CAPSULE:
+            a1, a2 = R1[:, 2], R2[:, 2]
+            c1, c2 = _seg_seg_closest(p1, a1, float(s1[1]),
+                                      p2, a2, float(s2[1]))
+            d, pos, n = _sphere_sphere(c1, float(s1[0]), c2, float(s2[0]))
+            add(g1, g2, d, pos, n)
+        # other combos were filtered out at compile time
+
+    n = len(dists)
+    if n == 0:
+        return Contacts(
+            dist=jnp.zeros((0,), dt), pos=jnp.zeros((0, 3), dt),
+            frame=jnp.zeros((0, 3, 3), dt),
+            body1=np.zeros(0, np.int32), body2=np.zeros(0, np.int32),
+            condim=np.zeros(0, np.int32), friction=np.zeros((0, 3)),
+            solref=np.zeros((0, 2)), solimp=np.zeros((0, 5)),
+            margin=np.zeros(0), gap=np.zeros(0))
+    b1 = np.array([m[0] for m in meta], np.int32)
+    b2 = np.array([m[1] for m in meta], np.int32)
+    condim = np.array([m[2] for m in meta], np.int32)
+    friction = np.array([m[3] for m in meta])
+    solref = np.array([m[4] for m in meta])
+    solimp = np.array([m[5] for m in meta])
+    margin = np.array([m[6] for m in meta])
+    gap = np.array([m[7] for m in meta])
+    return Contacts(
+        dist=jnp.stack(dists), pos=jnp.stack(poss), frame=jnp.stack(frames),
+        body1=b1, body2=b2, condim=condim, friction=friction,
+        solref=solref, solimp=solimp, margin=margin, gap=gap)
+
+
+def _combine(model: Model, g1: int, g2: int):
+    """MuJoCo contact-parameter combination: priority wins; otherwise condim
+    = max, friction = element-wise max, solref/solimp = solmix-weighted mean,
+    margin/gap = max."""
+    p1, p2 = int(model.geom_priority[g1]), int(model.geom_priority[g2])
+    b1, b2 = int(model.geom_bodyid[g1]), int(model.geom_bodyid[g2])
+    if p1 != p2:
+        g = g1 if p1 > p2 else g2
+        condim = int(model.geom_condim[g])
+        friction = model.geom_friction[g]
+        solref = model.geom_solref[g]
+        solimp = model.geom_solimp[g]
+    else:
+        condim = max(int(model.geom_condim[g1]), int(model.geom_condim[g2]))
+        friction = np.maximum(model.geom_friction[g1],
+                              model.geom_friction[g2])
+        m1, m2 = model.geom_solmix[g1], model.geom_solmix[g2]
+        w1 = m1 / (m1 + m2) if (m1 + m2) > 1e-12 else 0.5
+        solref = w1 * model.geom_solref[g1] + (1 - w1) * model.geom_solref[g2]
+        # negative ("direct") solref: take min instead of mixing
+        if model.geom_solref[g1][0] <= 0 or model.geom_solref[g2][0] <= 0:
+            solref = np.minimum(model.geom_solref[g1], model.geom_solref[g2])
+        solimp = w1 * model.geom_solimp[g1] + (1 - w1) * model.geom_solimp[g2]
+    # option-level override (<flag override="enable">, o_solref/o_solimp) —
+    # the hopper asset sets o_solref but not the flag
+    # (/root/reference/res/hopper.xml:8), so by MuJoCo semantics it is inert;
+    # we honor the flag exactly.
+    if model.opt.override_active:
+        solref = np.array(model.opt.o_solref)
+        solimp = np.array(model.opt.o_solimp)
+    # margins/gaps combine additively (verified against MuJoCo 3.10:
+    # includemargin = margin1 + margin2 - gap1 - gap2)
+    margin = float(model.geom_margin[g1]) + float(model.geom_margin[g2])
+    gap = float(model.geom_gap[g1]) + float(model.geom_gap[g2])
+    if model.opt.override_active:
+        margin = model.opt.o_margin
+    return (b1, b2, condim, friction, solref, solimp, margin, gap)

@@ -1,0 +1,171 @@
+"""Quaternion / rotation / spatial-vector algebra for the TPU physics core.
+
+Conventions
+-----------
+* Quaternions are MuJoCo order ``(w, x, y, z)``.
+* Spatial (Plücker) motion vectors are angular-first: ``V = (omega, v_o)``
+  where ``v_o`` is the linear velocity of the body-fixed point instantaneously
+  located at the world origin.
+* Spatial force (wrench) vectors are ``F = (n_o, f)`` — torque about the world
+  origin first, then linear force.
+
+All functions are pure jnp and batch-friendly (leading dims broadcast).
+
+The reference implementation delegates all of this to MuJoCo's C core
+(``mju_*`` functions, used e.g. at /root/reference/src/mjderivative.cpp:163-171);
+here it is re-implemented as vectorizable JAX ops so the whole dynamics
+pipeline can be traced, vmapped and compiled by XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# quaternions (w, x, y, z)
+# --------------------------------------------------------------------------
+
+def quat_mul(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product q ⊗ p (both (…,4), MuJoCo wxyz order)."""
+    w1, x1, y1, z1 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    w2, x2, y2, z2 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vector v by quaternion q (R(q) @ v)."""
+    qw, qv = q[..., :1], q[..., 1:]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + qw * t + jnp.cross(qv, t)
+
+
+def quat_rotate_inv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    return quat_rotate(quat_conj(q), v)
+
+
+def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion -> 3x3 rotation matrix (…,3,3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def axis_angle_to_quat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Unit axis + angle -> quaternion. axis (…,3), angle (…,)."""
+    half = 0.5 * angle
+    s = jnp.sin(half)
+    return jnp.concatenate(
+        [jnp.cos(half)[..., None], axis * s[..., None]], axis=-1
+    )
+
+
+def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
+    """MuJoCo mju_quatIntegrate semantics: rotate q by angular velocity omega
+    (expressed in the same frame that q maps FROM, i.e. local frame) for dt.
+
+    q_next = q ⊗ exp(0.5 * omega * dt).  Used for ball/free-joint qpos
+    integration and quaternion-aware FD perturbation
+    (/root/reference/src/mjderivative.cpp:163-171,186-194).
+    """
+    angle = jnp.linalg.norm(omega, axis=-1) * dt
+    # safe normalize
+    nrm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    axis = omega / jnp.where(nrm > 0, nrm, 1.0)
+    dq = axis_angle_to_quat(axis, angle)
+    return quat_normalize(quat_mul(q, dq))
+
+
+def quat_sub(qa: jnp.ndarray, qb: jnp.ndarray) -> jnp.ndarray:
+    """MuJoCo mju_subQuat: 3D velocity v such that qb ⊗ exp(v/2) = qa.
+
+    Tangent-space difference used for quaternion state differencing in the
+    solver (humanoid nq != nv support)."""
+    dq = quat_mul(quat_conj(qb), qa)
+    # log map: dq = (cos(a/2), sin(a/2) * axis)
+    sin_half = jnp.linalg.norm(dq[..., 1:], axis=-1)
+    cos_half = dq[..., 0]
+    angle = 2.0 * jnp.arctan2(sin_half, cos_half)
+    # map angle to [-pi, pi] branch (arctan2 of nonneg sin gives [0, 2pi)?
+    # arctan2(sin_half>=0, cos) in [0, pi]; wrap to shortest arc:
+    angle = jnp.where(angle > jnp.pi, angle - 2 * jnp.pi, angle)
+    axis = dq[..., 1:] / jnp.where(sin_half > 1e-14, sin_half, 1.0)[..., None]
+    return axis * angle[..., None]
+
+
+# --------------------------------------------------------------------------
+# 3-vector helpers
+# --------------------------------------------------------------------------
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Cross-product matrix [v]x, (…,3) -> (…,3,3)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    m = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], axis=-1)
+    return m.reshape(v.shape[:-1] + (3, 3))
+
+
+# --------------------------------------------------------------------------
+# spatial (Plücker) algebra, angular-first, world-origin frame
+# --------------------------------------------------------------------------
+
+def cross_motion(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Spatial motion cross product v ×m m (both (…,6))."""
+    w, vo = v[..., :3], v[..., 3:]
+    mw, mv = m[..., :3], m[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, mw), jnp.cross(w, mv) + jnp.cross(vo, mw)], axis=-1
+    )
+
+
+def cross_force(v: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """Spatial force cross product v ×f f (dual of cross_motion)."""
+    w, vo = v[..., :3], v[..., 3:]
+    n, fl = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, n) + jnp.cross(vo, fl), jnp.cross(w, fl)], axis=-1
+    )
+
+
+def spatial_inertia(mass, inertia_diag, com, rot) -> jnp.ndarray:
+    """6x6 spatial inertia in world Plücker coordinates at the origin.
+
+    mass (…,), inertia_diag (…,3) principal body inertia, com (…,3) world
+    position of the center of mass, rot (…,3,3) world-from-inertial rotation.
+
+    With motion V=(omega, v_o) and momentum h = I V = (L_o, p):
+      I = [[ I_c + m*Sc*Sc^T ,  m*Sc ],
+           [ m*Sc^T          ,  m*1  ]]
+    where Sc = skew(com) and I_c = R diag(inertia) R^T.
+    """
+    ic = rot @ (inertia_diag[..., :, None] * jnp.swapaxes(rot, -1, -2))
+    sc = skew(com)
+    m = mass[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=com.dtype), sc.shape)
+    top = jnp.concatenate([ic + m * sc @ jnp.swapaxes(sc, -1, -2), m * sc], axis=-1)
+    bot = jnp.concatenate([m * jnp.swapaxes(sc, -1, -2), m * eye], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

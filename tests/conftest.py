@@ -1,0 +1,35 @@
+"""Test configuration: CPU backend (8 virtual devices for sharding tests),
+float64 for golden comparisons against the MuJoCo C core.
+
+The real TPU is reserved for bench.py; tests mirror the multi-host strategy
+recommended in SURVEY.md §4 (CPU mesh via xla_force_host_platform_device_count).
+"""
+import os
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def assets_dir():
+    import pathlib
+    return pathlib.Path(__file__).resolve().parent.parent / \
+        "ilqg_mujoco_tpu" / "models" / "assets"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    import pathlib
+    p = pathlib.Path("/root/reference/res")
+    if not p.exists():
+        pytest.skip("reference assets not available")
+    return p

@@ -1,0 +1,176 @@
+"""Physics-core golden tests against the MuJoCo C core (via python bindings).
+
+These validate the replacement for the load-bearing native dependency of the
+reference (`-lmujoco`, /root/reference/Makefile:19): forward dynamics, the
+constraint solver, and both integrators, state-by-state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from ilqg_mujoco_tpu.physics import forward as fwd
+from ilqg_mujoco_tpu.physics import mjcf
+from ilqg_mujoco_tpu.physics.model import make_state
+
+
+def _mk(xml_path):
+    m = mjcf.load_model(str(xml_path))
+    mm = mujoco.MjModel.from_xml_path(str(xml_path))
+    md = mujoco.MjData(mm)
+    return m, mm, md
+
+
+def _set_state(md, qpos, qvel, ctrl):
+    md.qpos[:] = qpos
+    md.qvel[:] = qvel
+    md.ctrl[:] = ctrl
+
+
+def _state(m, qpos, qvel, ctrl):
+    return make_state(m).replace(
+        qpos=jnp.asarray(qpos, jnp.float64),
+        qvel=jnp.asarray(qvel, jnp.float64),
+        ctrl=jnp.asarray(ctrl, jnp.float64))
+
+
+def test_pendulum_qacc(assets_dir):
+    m, mm, md = _mk(assets_dir / "cartpole.xml")
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        qpos = rng.uniform(-0.8, 0.8, 2) * [1.0, 1.5]
+        qvel = rng.uniform(-2, 2, 2)
+        ctrl = rng.uniform(-3, 3, 1)
+        _set_state(md, qpos, qvel, ctrl)
+        mujoco.mj_forward(mm, md)
+        s = fwd.forward(m, _state(m, qpos, qvel, ctrl))
+        np.testing.assert_allclose(np.asarray(s.qacc), md.qacc,
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_pendulum_rk4_trajectory(assets_dir):
+    """100 RK4 steps incl. joint-limit engagement: state-by-state parity."""
+    m, mm, md = _mk(assets_dir / "cartpole.xml")
+    s = make_state(m)
+    step = jax.jit(lambda st: fwd.step(m, st))
+    for i in range(100):
+        u = 0.5 * np.sin(0.3 * i)
+        md.ctrl[:] = u
+        s = s.replace(ctrl=jnp.asarray([u], jnp.float64))
+        mujoco.mj_step(mm, md)
+        s = step(s)
+        np.testing.assert_allclose(np.asarray(s.qpos), md.qpos, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(s.qvel), md.qvel, atol=1e-10)
+
+
+def test_sphere_contact_trajectory():
+    """Free joint + pyramidal friction contact + implicit-damping Euler."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002"/>
+      <worldbody>
+        <geom type="plane" size="5 5 .1" condim="3" friction="0.8"/>
+        <body pos="0.1 -0.2 0.0955">
+          <freejoint/>
+          <geom type="sphere" size="0.1" friction="0.8"/>
+        </body>
+      </worldbody>
+    </mujoco>"""
+    mm = mujoco.MjModel.from_xml_string(xml)
+    md = mujoco.MjData(mm)
+    m = mjcf.load_model(xml_string=xml)
+    qv0 = [0.4, 0.1, -0.2, 1.0, 2.0, 0.5]
+    md.qvel[:] = qv0
+    s = make_state(m).replace(qvel=jnp.asarray(qv0, jnp.float64))
+    step = jax.jit(lambda st: fwd.step(m, st))
+    for i in range(200):
+        mujoco.mj_step(mm, md)
+        s = step(s)
+    np.testing.assert_allclose(np.asarray(s.qpos), md.qpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.qvel), md.qvel, atol=1e-5)
+
+
+def test_hopper_trajectory(assets_dir):
+    """Contact-rich hopper: 300 Euler steps with actuation, vs MuJoCo.
+
+    The constraint solvers differ (projected CG vs Newton) but solve the same
+    convex QP; trajectories must stay close through contact."""
+    m, mm, md = _mk(assets_dir / "hopper.xml")
+    s = make_state(m)
+    step = jax.jit(lambda st: fwd.step(m, st))
+    rng = np.random.RandomState(1)
+    for i in range(300):
+        u = 0.3 * np.sin(0.05 * i + np.arange(3))
+        md.ctrl[:] = u
+        s = s.replace(ctrl=jnp.asarray(u, jnp.float64))
+        mujoco.mj_step(mm, md)
+        s = step(s)
+        if i == 150:
+            np.testing.assert_allclose(np.asarray(s.qpos), md.qpos,
+                                       atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s.qpos), md.qpos, atol=5e-3)
+
+
+def test_humanoid_qacc(assets_dir):
+    """27-dof humanoid with free joint: smooth + contact qacc parity."""
+    m, mm, md = _mk(assets_dir / "humanoid.xml")
+    # reference pose (feet above ground, no contact)
+    mujoco.mj_forward(mm, md)
+    s = fwd.forward(m, make_state(m))
+    np.testing.assert_allclose(np.asarray(s.qacc), md.qacc,
+                               rtol=1e-6, atol=1e-7)
+    # perturbed pose with velocities
+    rng = np.random.RandomState(2)
+    qpos = mm.qpos0.copy()
+    qpos[7:] += rng.uniform(-0.1, 0.1, m.nq - 7)
+    qvel = rng.uniform(-0.5, 0.5, m.nv)
+    _set_state(md, qpos, qvel, np.zeros(m.nu))
+    mujoco.mj_forward(mm, md)
+    s = fwd.forward(m, _state(m, qpos, qvel, np.zeros(m.nu)))
+    np.testing.assert_allclose(np.asarray(s.qacc), md.qacc,
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_humanoid_fall_trajectory(assets_dir):
+    """Humanoid falling onto the floor: 200 Euler-ish steps (dt=0.005).
+
+    Trajectory-level agreement through multi-contact landing."""
+    m, mm, md = _mk(assets_dir / "humanoid.xml")
+    s = make_state(m)
+    step = jax.jit(lambda st: fwd.step(m, st))
+    for i in range(200):
+        mujoco.mj_step(mm, md)
+        s = step(s)
+        if i == 100:
+            np.testing.assert_allclose(np.asarray(s.qpos), md.qpos,
+                                       atol=2e-3)
+    # after landing; solvers may distribute contact forces differently
+    np.testing.assert_allclose(np.asarray(s.qpos), md.qpos, atol=2e-2)
+
+
+def test_energy_sanity(assets_dir):
+    """Undamped, unactuated pendulum conserves energy under RK4."""
+    import dataclasses
+    m = mjcf.load_model(str(assets_dir / "cartpole.xml"))
+    m = dataclasses.replace(m, dof_damping=np.zeros(2),
+                            opt=dataclasses.replace(m.opt, disable_limit=True))
+    s = make_state(m).replace(qpos=jnp.asarray([0.0, 0.5], jnp.float64))
+    from ilqg_mujoco_tpu.physics import smooth
+
+    def energy(s):
+        kin = smooth.kinematics(m, s.qpos)
+        ke = 0.5 * s.qvel @ (kin.M @ s.qvel)
+        pe = -sum(float(m.body_mass[b]) *
+                  jnp.dot(jnp.asarray(m.opt.gravity), kin.xipos[b])
+                  for b in range(m.nbody))
+        return ke + pe
+
+    e0 = float(energy(s))
+    step = jax.jit(lambda st: fwd.step(m, st))
+    for _ in range(100):
+        s = step(s)
+    # RK4 truncation at dt=0.02 dominates; the bound still catches sign or
+    # magnitude errors in M, bias or gravity
+    assert abs(float(energy(s)) - e0) < 1e-3 * max(1.0, abs(e0))
