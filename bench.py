@@ -1,0 +1,74 @@
+"""Benchmark: batched iLQR throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: iLQR iterations/s across a batch of independent pendulum
+MPC instances (the reference workload, inc/inverted_pendulum/*) on one chip.
+Baseline: the reference algorithm's measured single-process throughput on
+the MuJoCo C core (tools/measure_baseline.py -> baselines.json); the batch
+axis is the TPU scaling story the reference has no counterpart for
+(SURVEY.md §2a).
+
+Env knobs: ILQG_BENCH_BATCH (default 1024), ILQG_BENCH_REPS (default 5),
+ILQG_BENCH_ENV (pendulum|hopper).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    env_name = os.environ.get("ILQG_BENCH_ENV", "pendulum")
+    batch = int(os.environ.get("ILQG_BENCH_BATCH", "1024"))
+    reps = int(os.environ.get("ILQG_BENCH_REPS", "5"))
+
+    from ilqg_mujoco_tpu.models import envs
+    from ilqg_mujoco_tpu.parallel import batch as pbatch
+
+    # TPU path: f32, AD linearizer (exact Jacobians; FD compat mode is for
+    # f64 golden work on CPU)
+    env = envs.make(env_name, mode="tassa", engine="ad")
+
+    sb, sols = pbatch.init_batched(env, batch, qpos_noise=0.01)
+    solve = pbatch.make_batched_solve(env)
+
+    # compile + warm up
+    sols2, traces = solve(sb, sols)
+    jax.block_until_ready(traces)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sols2, traces = solve(sb, sols)
+    jax.block_until_ready(traces)
+    dt = time.perf_counter() - t0
+
+    total_iters = batch * env.ilqr.iterations * reps
+    rate = total_iters / dt
+
+    base_path = pathlib.Path(__file__).parent / "baselines.json"
+    vs = None
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        ref = base.get(env_name, {}).get("ilqr_iters_per_s")
+        if ref:
+            vs = rate / ref
+
+    print(json.dumps({
+        "metric": f"ilqr_iters_per_s_{env_name}_batch{batch}",
+        "value": round(rate, 2),
+        "unit": "iLQR iterations/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

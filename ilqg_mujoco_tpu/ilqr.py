@@ -1,0 +1,323 @@
+"""iLQR/iLQG trajectory optimizer: the TPU-native rebuild of the reference's
+header-only solver (/root/reference/inc/ilqr.h).
+
+Structure
+---------
+The reference interleaves one linearization per knot *inside* the backward
+loop (inc/ilqr.h:153-154), serializing N+1 expensive FD passes.  Here each
+iteration is:
+
+1. ``forward_pass`` — one :func:`jax.lax.scan` over the horizon applying the
+   affine policy u = K (x - x*) + k + u* and stepping the full physics
+   (inc/ilqr.h:116-130);
+2. ``linearize_traj`` — ALL N+1 knots linearized in one batched vmap
+   (ops/linearize.py), the key TPU restructuring;
+3. ``backward_pass`` — the Riccati-style recursion as a reverse
+   :func:`jax.lax.scan` with tiny (2nv x 2nv) matrix algebra per step.
+
+Modes
+-----
+* ``compat`` — reproduces the reference recursion *exactly*, including its
+  quirks (SURVEY.md §7.0): fixed LM shift mu=1000 added to V and never
+  removed (inc/ilqr.h:65,166,168), rank-1 gradient-outer-product Hessians
+  Q=q^T q, R=r^T r (:157-158), the knot-gap term c = x*_{t+1} - x*_t
+  (:161-163), full-magnitude k (no linesearch), and K/k[terminal] unused.
+  K/k are zero-initialized (the reference leaves them uninitialized and uses
+  them in the first forward pass — the one documented non-determinism we fix;
+  SURVEY.md §7.0.2).
+* ``tassa`` — modern iLQG: exact cost quadratics via autodiff, adaptive
+  Levenberg-Marquardt regularization, and a vmapped parallel backtracking
+  linesearch (all alphas rolled out at once, best accepted) — what the
+  reference README advertises but does not implement (README.md:12-13).
+
+Time indexing is forward (t=0 initial, t=N terminal); the reference stores
+trajectories reverse-indexed (dArray[N]=initial, inc/ilqr.h:52) — golden
+comparators must map indices, nothing else differs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import linalg
+from .ops.linearize import (CostFn, LinearizeConfig, LinOut, linearize_traj)
+from .physics import forward as fwd
+from .physics import spatial
+from .physics.model import (JNT_BALL, JNT_FREE, JNT_HINGE, JNT_SLIDE, Model,
+                            State)
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    horizon: int = 20                 # N (inverted_pendulum.h:22)
+    iterations: int = 10              # per solve (inverted_pendulum.h:24)
+    mode: str = "compat"              # 'compat' | 'tassa'
+    mu: float = 1000.0                # fixed LM shift (inc/ilqr.h:65)
+    lin: LinearizeConfig = LinearizeConfig()
+    # tassa-mode options
+    mu_min: float = 1e-6
+    mu_max: float = 1e10
+    mu_factor: float = 1.6
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.05, 0.01)
+    reg_init: float = 1e-6
+
+
+class ILQRState(NamedTuple):
+    """Persistent solver state (the ILQR object's data, inc/ilqr.h:44-65):
+    trajectory snapshots, gains, regularizer."""
+    traj: State          # stacked (N+1) knots, knot t carries its ctrl u_t
+    K: jnp.ndarray       # (N+1, nu, 2nv)
+    k: jnp.ndarray       # (N+1, nu)
+    mu: jnp.ndarray      # () adaptive LM parameter (tassa mode)
+
+
+def state_diff(model: Model, s_qpos, s_qvel, r_qpos, r_qvel) -> jnp.ndarray:
+    """Tangent-space state difference x - x* in R^{2nv}.
+
+    For nq == nv this is the reference's contiguous [qpos; qvel] subtraction
+    (inc/ilqr.h:90,126); for quaternion joints (humanoid free joint) the
+    orientation difference is the quaternion log map — the generalization the
+    reference's memory-map trick cannot express (SURVEY.md §1 state-vector
+    contract)."""
+    if model.nq == model.nv:
+        return jnp.concatenate([s_qpos - r_qpos, s_qvel - r_qvel])
+    parts = []
+    for j in range(model.njnt):
+        jt = int(model.jnt_type[j])
+        qadr = int(model.jnt_qposadr[j])
+        if jt in (JNT_SLIDE, JNT_HINGE):
+            parts.append(s_qpos[qadr:qadr + 1] - r_qpos[qadr:qadr + 1])
+        elif jt == JNT_BALL:
+            parts.append(spatial.quat_sub(s_qpos[qadr:qadr + 4],
+                                          r_qpos[qadr:qadr + 4]))
+        elif jt == JNT_FREE:
+            parts.append(s_qpos[qadr:qadr + 3] - r_qpos[qadr:qadr + 3])
+            parts.append(spatial.quat_sub(s_qpos[qadr + 3:qadr + 7],
+                                          r_qpos[qadr + 3:qadr + 7]))
+    return jnp.concatenate(parts + [s_qvel - r_qvel])
+
+
+def _broadcast_state(x0: State, n: int) -> State:
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), x0)
+
+
+def init_solver(model: Model, x0: State, cfg: ILQRConfig) -> ILQRState:
+    """Initial trajectory: roll the initial state forward under its current
+    ctrl (the ILQR ctor loop, inc/ilqr.h:82-87), K/k = 0."""
+    def body(s, _):
+        return fwd.step(model, s), s
+    _, traj = jax.lax.scan(body, x0, None, length=cfg.horizon + 1)
+    nv2 = 2 * model.nv
+    return ILQRState(
+        traj=traj,
+        K=jnp.zeros((cfg.horizon + 1, model.nu, nv2), x0.qpos.dtype),
+        k=jnp.zeros((cfg.horizon + 1, model.nu), x0.qpos.dtype),
+        mu=jnp.asarray(cfg.reg_init, x0.qpos.dtype),
+    )
+
+
+def forward_pass(model: Model, x0: State, sol: ILQRState,
+                 cfg: ILQRConfig, alpha=1.0) -> State:
+    """Roll out u = K (x - x*) + alpha*k + u* from x0 through the full
+    nonlinear dynamics (inc/ilqr.h:116-130; alpha=1 is the reference's
+    full-magnitude application)."""
+    def body(s, inp):
+        K_t, k_t, ref_knot = inp
+        dx = state_diff(model, s.qpos, s.qvel, ref_knot.qpos, ref_knot.qvel)
+        u = K_t @ dx + alpha * k_t + ref_knot.ctrl
+        knot = s.replace(ctrl=u)
+        return fwd.step(model, knot), knot
+    _, traj = jax.lax.scan(body, x0, (sol.K, sol.k, sol.traj))
+    return traj
+
+
+def _traj_cost(cost_fn: CostFn, traj: State) -> jnp.ndarray:
+    return jnp.sum(jax.vmap(cost_fn)(traj.qpos, traj.qvel, traj.ctrl))
+
+
+# ---------------------------------------------------------------------------
+# compat backward pass: the reference recursion, verbatim math
+# ---------------------------------------------------------------------------
+
+def backward_pass_compat(model: Model, traj: State, lin: LinOut,
+                         cfg: ILQRConfig):
+    """inc/ilqr.h:133-176 as a reverse scan.  All quirks intentional."""
+    N = cfg.horizon
+    nv2, nu = 2 * model.nv, model.nu
+    dt = lin.A.dtype
+    mu = jnp.asarray(cfg.mu, dt)
+
+    # initV (inc/ilqr.h:100-107): terminal knot gradient outer product
+    v0 = lin.gx[N]
+    V0 = jnp.outer(v0, v0)
+
+    # knot gaps c_t = x*_{t+1} - x*_t (inc/ilqr.h:161-163)
+    diffs = jax.vmap(lambda a, b, c, d: state_diff(model, a, b, c, d))(
+        traj.qpos[1:], traj.qvel[1:], traj.qpos[:-1], traj.qvel[:-1])
+
+    def body(carry, inp):
+        V, v = carry
+        A, B, q, r, c = inp
+        V = 0.5 * (V + V.T)
+        Q = jnp.outer(q, q)
+        R = jnp.outer(r, r)
+        V = V + mu * jnp.eye(nv2, dtype=dt)       # shift never removed (:168)
+        # reference: (-2 B^T V B - 2R).ldlt() (inc/ilqr.h:167); -T is SPD
+        # under the LM shift, so solve the negated system with Cholesky
+        # (SURVEY.md §2b.3) — pure-JAX (ops/linalg.py)
+        negT = 2.0 * B.T @ V @ B + 2.0 * R
+        Lt = linalg.cholesky(negT)
+        K = -linalg.cho_solve(Lt, 2.0 * B.T @ V @ A)
+        k = -linalg.cho_solve(Lt, B.T @ (v + 2.0 * V @ c) + r)
+        ABK = A + B @ K
+        V_new = ABK.T @ V @ ABK + Q + K.T @ R @ K
+        # NOTE: the reference assigns *V first and the *v update then reads
+        # the NEW V (inc/ilqr.h:173-174) — replicated deliberately
+        v_new = (2.0 * (B @ k + c) @ V_new @ ABK + v @ ABK + q
+                 + 2.0 * (k @ R @ K))
+        return (V_new, v_new), (K, k)
+
+    xs = (lin.A[:N], lin.B[:N], lin.gx[:N], lin.gu[:N], diffs)
+    _, (K, k) = jax.lax.scan(body, (V0, v0), xs, reverse=True)
+    # terminal gains unused (reference's K/k[0]): keep zeros
+    K = jnp.concatenate([K, jnp.zeros((1, nu, nv2), dt)])
+    k = jnp.concatenate([k, jnp.zeros((1, nu), dt)])
+    return K, k
+
+
+# ---------------------------------------------------------------------------
+# tassa (default) backward pass: proper iLQG
+# ---------------------------------------------------------------------------
+
+def _cost_quadratics(cost_fn: CostFn, model: Model, traj: State):
+    """Exact cost expansion per knot via autodiff (replaces the reference's
+    rank-1 approximations)."""
+    def at_knot(qpos, qvel, ctrl):
+        nv = model.nv
+
+        def f(dx, du):
+            dq, dv = dx[:nv], dx[nv:]
+            qp = fwd.integrate_pos(model, qpos, dq, 1.0)
+            return cost_fn(qp, qvel + dv, ctrl + du)
+
+        z_x = jnp.zeros(2 * nv, qpos.dtype)
+        z_u = jnp.zeros(model.nu, qpos.dtype)
+        lx = jax.grad(f, 0)(z_x, z_u)
+        lu = jax.grad(f, 1)(z_x, z_u)
+        lxx = jax.hessian(f, 0)(z_x, z_u)
+        luu = jax.hessian(f, 1)(z_x, z_u)
+        lux = jax.jacfwd(jax.grad(f, 1), 0)(z_x, z_u)
+        return lx, lu, lxx, luu, lux
+
+    return jax.vmap(at_knot)(traj.qpos, traj.qvel, traj.ctrl)
+
+
+def backward_pass_tassa(model: Model, traj: State, lin: LinOut,
+                        cost_fn: CostFn, mu, cfg: ILQRConfig):
+    """Standard iLQG backward recursion with LM-regularized Quu.
+
+    Returns (K, k, dV1, dV2, ok): expected improvement terms and a
+    positive-definiteness flag for the mu adaptation loop."""
+    N = cfg.horizon
+    nv2, nu = 2 * model.nv, model.nu
+    dt = lin.A.dtype
+    lx, lu, lxx, luu, lux = _cost_quadratics(cost_fn, model, traj)
+
+    Vx0, Vxx0 = lx[N], lxx[N]
+
+    def body(carry, inp):
+        Vx, Vxx, dV1, dV2, ok = carry
+        A, B, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        Qx = lx_t + A.T @ Vx
+        Qu = lu_t + B.T @ Vx
+        Qxx = lxx_t + A.T @ Vxx @ A
+        Quu = luu_t + B.T @ Vxx @ B
+        Qux = lux_t + B.T @ Vxx @ A
+        Quu_reg = Quu + mu * jnp.eye(nu, dtype=dt)
+        # PD check via (pure-JAX) Cholesky; reuse the factor for the solves
+        L = linalg.cholesky(Quu_reg)
+        pd = jnp.all(jnp.isfinite(L))
+        Ls = jnp.where(pd, L, jnp.eye(nu, dtype=dt))
+        K = -linalg.cho_solve(Ls, Qux)
+        k = -linalg.cho_solve(Ls, Qu)
+        Vx_n = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+        Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+        dV1 = dV1 + k @ Qu
+        dV2 = dV2 + 0.5 * k @ (Quu @ k)
+        return (Vx_n, Vxx_n, dV1, dV2, ok & pd), (K, k)
+
+    xs = (lin.A[:N], lin.B[:N], lx[:N], lu[:N], lxx[:N], luu[:N], lux[:N])
+    init = (Vx0, Vxx0, jnp.zeros((), dt), jnp.zeros((), dt),
+            jnp.asarray(True))
+    (_, _, dV1, dV2, ok), (K, k) = jax.lax.scan(body, init, xs, reverse=True)
+    K = jnp.concatenate([K, jnp.zeros((1, nu, nv2), dt)])
+    k = jnp.concatenate([k, jnp.zeros((1, nu), dt)])
+    return K, k, dV1, dV2, ok
+
+
+# ---------------------------------------------------------------------------
+# solve loops
+# ---------------------------------------------------------------------------
+
+def iterate_compat(model: Model, cost_fn: CostFn, x0: State,
+                   sol: ILQRState, cfg: ILQRConfig):
+    """One reference iteration (inc/ilqr.h:179-186): forward then backward."""
+    traj = forward_pass(model, x0, sol, cfg)
+    lin = linearize_traj(model, traj, cost_fn, cfg.lin)
+    K, k = backward_pass_compat(model, traj, lin, cfg)
+    cost = _traj_cost(cost_fn, traj)
+    return ILQRState(traj=traj, K=K, k=k, mu=sol.mu), cost
+
+
+def iterate_tassa(model: Model, cost_fn: CostFn, x0: State,
+                  sol: ILQRState, cfg: ILQRConfig):
+    """One modern iLQG iteration: linearize, regularized backward pass, and a
+    *parallel* backtracking linesearch — every alpha rolled out concurrently
+    by vmap (TPU-friendly: trades FLOPs for zero serial linesearch latency)."""
+    lin = linearize_traj(model, sol.traj, cost_fn, cfg.lin)
+    K, k, dV1, dV2, ok = backward_pass_tassa(
+        model, sol.traj, lin, cost_fn, sol.mu, cfg)
+    cost0 = _traj_cost(cost_fn, sol.traj)
+
+    cand = ILQRState(traj=sol.traj, K=K, k=k, mu=sol.mu)
+    alphas = jnp.asarray(cfg.alphas, sol.k.dtype)
+    trajs = jax.vmap(lambda a: forward_pass(model, x0, cand, cfg, alpha=a))(
+        alphas)
+    costs = jax.vmap(lambda t: _traj_cost(cost_fn, t))(trajs)
+    best = jnp.argmin(costs)
+    improved = ok & (costs[best] < cost0)
+
+    new_traj = jax.tree_util.tree_map(
+        lambda cands, old: jnp.where(
+            improved, cands[best],
+            jnp.broadcast_to(old, cands[best].shape)),
+        trajs, sol.traj)
+    mu_new = jnp.where(
+        improved,
+        jnp.maximum(sol.mu / cfg.mu_factor, cfg.mu_min),
+        jnp.minimum(sol.mu * cfg.mu_factor ** 2, cfg.mu_max))
+    new_cost = jnp.where(improved, costs[best], cost0)
+    return (ILQRState(traj=new_traj, K=K, k=k, mu=mu_new), new_cost)
+
+
+def solve(model: Model, cost_fn: CostFn, x0: State, sol: ILQRState,
+          cfg: ILQRConfig):
+    """Run cfg.iterations iLQR iterations from x0 (the reference's
+    `for i<maxIterUtilConvergence: iterate()` loop,
+    src/inverted_pendulum/inverted_pendulum.cpp:22-23).
+
+    Returns (solver state, per-iteration cost trace) — the cost trace is the
+    golden artifact the reference never logs (SURVEY.md §5 metrics row)."""
+    it = iterate_compat if cfg.mode == "compat" else iterate_tassa
+
+    def body(s, _):
+        s2, cost = it(model, cost_fn, x0, s, cfg)
+        return s2, cost
+
+    return jax.lax.scan(body, sol, None, length=cfg.iterations)

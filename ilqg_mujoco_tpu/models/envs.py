@@ -1,0 +1,118 @@
+"""Task/environment layer: (model asset, step cost, solver dims) records —
+the analog of the reference's env classes
+(/root/reference/inc/inverted_pendulum/*).
+
+The cost contract is the reference's ``stepCostFn_t``
+(/root/reference/inc/mjderivative.h:5): one scalar function of the dynamic
+state, here ``cost(qpos, qvel, ctrl)`` — pure jnp, differentiable, vmappable.
+
+The reference ships an env class only for the inverted pendulum; hopper and
+humanoid are asset-only (SURVEY.md §7.0.11).  We define costs for all three
+(hopper/humanoid costs are this framework's extensions, marked as such).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..ilqr import ILQRConfig
+from ..ops.linearize import LinearizeConfig
+from ..physics import mjcf
+from ..physics.model import Model
+
+ASSETS = pathlib.Path(__file__).resolve().parent / "assets"
+
+
+@dataclasses.dataclass(frozen=True)
+class Env:
+    name: str
+    model: Model
+    cost_fn: Callable
+    ilqr: ILQRConfig
+    warm_steps: int = 0   # env warm-in steps before the first solve
+
+
+_CACHE = {}
+
+
+def pendulum(mode: str = "compat", engine: str = "fd") -> Env:
+    """Cart-pole swing-up/balance: the reference's only complete env.
+
+    Cost (inc/inverted_pendulum/cost.h:7-17):
+        1*qpos0^2 + 10*qpos1^2 + 1*qvel0^2 + 10*qvel1^2 + 1*ctrl0^2
+    dims nv=2, nu=1, N=20, 10 iterations per MPC step
+    (inc/inverted_pendulum/inverted_pendulum.h:20-24); the env warms in with
+    10 free steps before the first solve
+    (src/inverted_pendulum/inverted_pendulum.cpp:12-13)."""
+    model = _load("cartpole.xml")
+
+    def cost(qpos, qvel, ctrl):
+        return (1.0 * qpos[0] ** 2 + 10.0 * qpos[1] ** 2
+                + 1.0 * qvel[0] ** 2 + 10.0 * qvel[1] ** 2
+                + 1.0 * ctrl[0] ** 2)
+
+    return Env(
+        name="pendulum", model=model, cost_fn=cost,
+        ilqr=ILQRConfig(horizon=20, iterations=10, mode=mode,
+                        lin=LinearizeConfig(engine=engine)),
+        warm_steps=10)
+
+
+def hopper(mode: str = "tassa", engine: str = "ad") -> Env:
+    """Planar hopper: asset from the reference (res/hopper.xml), cost is this
+    framework's extension (the reference ships no hopper env): track a
+    forward velocity while staying tall and upright, small ctrl penalty."""
+    model = _load("hopper.xml")
+
+    def cost(qpos, qvel, ctrl):
+        v_target = 1.0
+        return (2.0 * (qvel[0] - v_target) ** 2      # forward speed
+                + 10.0 * (qpos[1] - 1.25) ** 2       # height
+                + 1.0 * qpos[2] ** 2                 # torso pitch
+                + 0.1 * jnp.sum(qvel[3:] ** 2)
+                + 1e-3 * jnp.sum(ctrl ** 2))
+
+    return Env(
+        name="hopper", model=model, cost_fn=cost,
+        ilqr=ILQRConfig(horizon=40, iterations=10, mode=mode,
+                        lin=LinearizeConfig(engine=engine)),
+        warm_steps=0)
+
+
+def humanoid(mode: str = "tassa", engine: str = "ad") -> Env:
+    """Humanoid balance: asset from the reference (res/humanoid.xml, shipped
+    asset-only — its nq != nv free joint breaks the reference's state map,
+    SURVEY.md §1), cost is this framework's extension: stay tall, upright,
+    centered, with velocity and ctrl penalties."""
+    model = _load("humanoid.xml")
+
+    def cost(qpos, qvel, ctrl):
+        up = 1.0 - 2.0 * (qpos[4] ** 2 + qpos[5] ** 2)  # z-axis alignment
+        return (50.0 * (qpos[2] - 1.4) ** 2
+                + 20.0 * (1.0 - up) ** 2
+                + 1.0 * (qpos[0] ** 2 + qpos[1] ** 2)
+                + 0.05 * jnp.sum(qvel ** 2)
+                + 1e-3 * jnp.sum(ctrl ** 2))
+
+    return Env(
+        name="humanoid", model=model, cost_fn=cost,
+        ilqr=ILQRConfig(horizon=30, iterations=5, mode=mode,
+                        lin=LinearizeConfig(engine=engine)),
+        warm_steps=0)
+
+
+REGISTRY = {"pendulum": pendulum, "hopper": hopper, "humanoid": humanoid}
+
+
+def _load(asset: str) -> Model:
+    if asset not in _CACHE:
+        _CACHE[asset] = mjcf.load_model(str(ASSETS / asset))
+    return _CACHE[asset]
+
+
+def make(name: str, **kw) -> Env:
+    return REGISTRY[name](**kw)

@@ -1,0 +1,73 @@
+"""Receding-horizon MPC driver: the analog of InvertedPendulum::forward()
+(/root/reference/src/inverted_pendulum/inverted_pendulum.cpp:19-30), lifted
+into a single jitted lax.scan over frames.
+
+Per frame (one reference render-loop tick, cmd/basic.cpp:158-179):
+  1. re-solve the horizon problem from the current env state
+     (setDInit + iterations x iterate, inverted_pendulum.cpp:21-23);
+  2. apply the first optimized control (:26);
+  3. advance the real environment one step (:29).
+
+The solver state (trajectory + gains) persists across frames exactly like
+the reference's long-lived ILQR object — that is the warm start that makes
+10 iterations per frame enough.
+
+Unlike the reference (which hides this loop inside a v-synced GLFW render
+loop), the whole run compiles to one XLA program: no host round-trips, which
+is what makes batched/sharded MPC (parallel.py) possible.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import ilqr
+from .models.envs import Env
+from .physics import forward as fwd
+from .physics.model import Model, State, make_state
+
+
+class MPCOut(NamedTuple):
+    env_states: State        # (frames, ...) trajectory of the real system
+    controls: jnp.ndarray    # (frames, nu) applied controls
+    cost_trace: jnp.ndarray  # (frames, iterations) per-iteration solve costs
+    step_cost: jnp.ndarray   # (frames,) running cost of the real system
+
+
+def mpc_step(env: Env, env_state: State, sol: ilqr.ILQRState):
+    """One MPC frame.  Returns (env_state', sol', info)."""
+    model, cfg = env.model, env.ilqr
+    sol, cost_trace = ilqr.solve(model, env.cost_fn, env_state, sol, cfg)
+    u0 = sol.traj.ctrl[0]
+    applied = env_state.replace(ctrl=u0)
+    env_next = fwd.step(model, applied)
+    step_cost = env.cost_fn(env_state.qpos, env_state.qvel, u0)
+    return env_next, sol, (u0, cost_trace, step_cost)
+
+
+def init(env: Env, x0: State = None):
+    """Warm in the env (the ctor's free steps) and build the solver state."""
+    model = env.model
+    s = make_state(model) if x0 is None else x0
+    for _ in range(env.warm_steps):
+        s = fwd.step(model, s)
+    sol = ilqr.init_solver(model, s, env.ilqr)
+    return s, sol
+
+
+def run(env: Env, frames: int, x0: State = None) -> MPCOut:
+    """Full MPC rollout as one scan (jit the returned computation)."""
+    s0, sol0 = init(env, x0)
+
+    def body(carry, _):
+        s, sol = carry
+        s2, sol2, (u0, trace, c) = mpc_step(env, s, sol)
+        return (s2, sol2), (s, u0, trace, c)
+
+    (_, _), (states, us, traces, cs) = jax.lax.scan(
+        body, (s0, sol0), None, length=frames)
+    return MPCOut(env_states=states, controls=us, cost_trace=traces,
+                  step_cost=cs)

@@ -1,0 +1,230 @@
+"""Batched linearization of the dynamics: the TPU-native replacement for the
+reference's OpenMP finite-difference engine
+(/root/reference/src/mjderivative.cpp).
+
+The reference fans a thread pool out over the nv derivative columns, each
+thread finite-differencing `qacc` with a pinned solver and shared-center
+warmstart (worker(), src/mjderivative.cpp:43-209).  Here the same protocol is
+a *single* ``vmap`` over all 2*(2nv+nu) signed perturbations — and a second
+vmap over all N+1 trajectory knots — so one batched XLA computation replaces
+the whole thread pool AND the per-knot loop interleaved into the reference's
+backward pass (inc/ilqr.h:153-154).
+
+Two engines:
+
+* :func:`linearize_fd` — reference-exact central differences: quaternion-
+  aware qpos perturbation (mju_quatIntegrate semantics,
+  src/mjderivative.cpp:163-171), pinned solver (iterations=30, tolerance=0,
+  :241-242), warmstart protocol (nwarmup center repetitions :66-68, restore
+  before each perturbed eval :91,102,...), one-sided cost gradients
+  (:88,120,174).
+* :func:`linearize_ad` — forward-mode autodiff through the (pinned,
+  differentiable) pipeline: exact Jacobians, no epsilon, the TPU-native
+  default.
+
+Both produce Euler-discretized (A, B) like Differentiator::updateDerivatives
+(inc/differentiator.h:85-93):
+    A = [[I, h I], [h Jq, I + h Jv]],   B = [[0], [h Ju]]
+with an optional ``compat_transpose_A`` flag reproducing the reference's
+transposed-Jacobian quirk (column-major Eigen maps over row-major FD writes —
+SURVEY.md §7.0.1) for golden-trace matching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..physics import forward as fwd
+from ..physics import smooth, spatial
+from ..physics.model import (JNT_BALL, JNT_FREE, JNT_HINGE, JNT_SLIDE, Model,
+                             State)
+
+# cost signature: cost(qpos, qvel, ctrl) -> scalar  (the stepCostFn_t
+# contract, /root/reference/inc/mjderivative.h:5 — a scalar function of the
+# dynamic state)
+CostFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearizeConfig:
+    """FD knobs with the reference's exact defaults
+    (/root/reference/src/mjderivative.cpp:36-39)."""
+    eps: float = 1e-6
+    niter: int = 30          # pinned solver iterations
+    nwarmup: int = 3         # center-point repetitions
+    compat_transpose_A: bool = False
+    # 'fd' (reference-exact) | 'ad' (forward-mode autodiff)
+    engine: str = "fd"
+
+
+class LinOut(NamedTuple):
+    A: jnp.ndarray      # (..., 2nv, 2nv)
+    B: jnp.ndarray      # (..., 2nv, nu)
+    gx: jnp.ndarray     # (..., 2nv)   cost gradient wrt [dqpos_tangent; qvel]
+    gu: jnp.ndarray     # (..., nu)
+    cost: jnp.ndarray   # (...)        center step cost
+
+
+def _perturb_qpos(model: Model, qpos: jnp.ndarray, dof: int, eps):
+    """Quaternion-aware qpos perturbation along tangent direction `dof`
+    (the reference's ball/free handling, src/mjderivative.cpp:148-171)."""
+    j = int(model.dof_jntid[dof])
+    jt = int(model.jnt_type[j])
+    qadr = int(model.jnt_qposadr[j])
+    dadr = int(model.jnt_dofadr[j])
+    k = dof - dadr
+    if jt in (JNT_SLIDE, JNT_HINGE):
+        return qpos.at[qadr].add(eps)
+    if jt == JNT_BALL:
+        vel = jnp.zeros(3, qpos.dtype).at[k].set(eps)
+        q = spatial.quat_integrate(qpos[qadr:qadr + 4], vel, 1.0)
+        return jax.lax.dynamic_update_slice(qpos, q, (qadr,))
+    # free joint: first 3 dofs translate, last 3 rotate the quaternion
+    if k < 3:
+        return qpos.at[qadr + k].add(eps)
+    vel = jnp.zeros(3, qpos.dtype).at[k - 3].set(eps)
+    q = spatial.quat_integrate(qpos[qadr + 3:qadr + 7], vel, 1.0)
+    return jax.lax.dynamic_update_slice(qpos, q, (qadr + 3,))
+
+
+def _center(model: Model, state: State, cfg: LinearizeConfig) -> State:
+    """Warmed center evaluation: full forward + (nwarmup-1) repetitions with
+    the pinned solver, chaining the warmstart
+    (src/mjderivative.cpp:64-68)."""
+    s = state
+    for _ in range(max(cfg.nwarmup, 1)):
+        s = fwd.forward(model, s, iterations=cfg.niter, tolerance=0.0)
+    return s
+
+
+def _assemble(model: Model, Jq, Jv, Ju, compat_transpose_A: bool):
+    """Euler discretization (inc/differentiator.h:68-71, 89-92)."""
+    h = model.opt.timestep
+    nv, nu = model.nv, model.nu
+    dt = Jq.dtype
+    if compat_transpose_A:
+        # reference quirk: column-major Eigen maps over row-major FD writes
+        # transpose the qpos/qvel blocks (SURVEY.md §7.0.1)
+        Jq, Jv = Jq.T, Jv.T
+    eye = jnp.eye(nv, dtype=dt)
+    A = jnp.block([[eye, h * eye],
+                   [h * Jq, eye + h * Jv]])
+    B = jnp.concatenate([jnp.zeros((nv, nu), dt), h * Ju], axis=0)
+    return A, B
+
+
+def linearize_fd(model: Model, state: State, cost_fn: CostFn,
+                 cfg: LinearizeConfig = LinearizeConfig()) -> LinOut:
+    """Reference-exact FD linearization at a single knot.
+
+    vmap this over a stacked trajectory State to linearize a whole horizon in
+    one batched pass (the restructuring SURVEY.md §3.3 calls out)."""
+    nv, nu = model.nv, model.nu
+    dt = state.qpos.dtype
+    eps = jnp.asarray(cfg.eps, dt)
+
+    sc = _center(model, state, cfg)
+    warm = sc.qacc_warmstart
+    qacc0 = sc.qacc
+    cost0 = cost_fn(state.qpos, state.qvel, state.ctrl)
+
+    def eval_qacc(qpos, qvel, ctrl):
+        s = state.replace(qpos=qpos, qvel=qvel, ctrl=ctrl,
+                          qacc_warmstart=warm)
+        return fwd.forward(model, s, iterations=cfg.niter,
+                           tolerance=0.0).qacc
+
+    # build the perturbation batch: [qpos+|-, qvel+|-, ctrl+|-]
+    qpos_p, qpos_m = [], []
+    for i in range(nv):
+        qpos_p.append(_perturb_qpos(model, state.qpos, i, eps))
+        qpos_m.append(_perturb_qpos(model, state.qpos, i, -eps))
+    qpos_pert = jnp.stack(qpos_p + qpos_m)              # (2nv, nq)
+    eyev = jnp.eye(nv, dtype=dt)
+    qvel_pert = jnp.concatenate([state.qvel + eps * eyev,
+                                 state.qvel - eps * eyev])  # (2nv, nv)
+    eyeu = jnp.eye(nu, dtype=dt)
+    ctrl_pert = jnp.concatenate([state.ctrl + eps * eyeu,
+                                 state.ctrl - eps * eyeu])  # (2nu, nu)
+
+    P = 4 * nv + 2 * nu
+    qpos_b = jnp.concatenate([
+        qpos_pert,
+        jnp.broadcast_to(state.qpos, (2 * nv + 2 * nu, model.nq))])
+    qvel_b = jnp.concatenate([
+        jnp.broadcast_to(state.qvel, (2 * nv, nv)), qvel_pert,
+        jnp.broadcast_to(state.qvel, (2 * nu, nv))])
+    ctrl_b = jnp.concatenate([
+        jnp.broadcast_to(state.ctrl, (4 * nv, nu)), ctrl_pert])
+    assert qpos_b.shape[0] == P
+
+    qacc_b = jax.vmap(eval_qacc)(qpos_b, qvel_b, ctrl_b)   # (P, nv)
+
+    inv2eps = 1.0 / (2.0 * eps)
+    Jq = (qacc_b[0:nv] - qacc_b[nv:2 * nv]).T * inv2eps          # (nv,nv)
+    Jv = (qacc_b[2 * nv:3 * nv] - qacc_b[3 * nv:4 * nv]).T * inv2eps
+    Ju = (qacc_b[4 * nv:4 * nv + nu]
+          - qacc_b[4 * nv + nu:]).T * inv2eps                     # (nv,nu)
+
+    # one-sided cost gradients at the +eps states (reference protocol:
+    # forward difference, no dynamics eval needed — cost is state-local)
+    cost_qpos = jax.vmap(lambda qp: cost_fn(qp, state.qvel, state.ctrl))(
+        qpos_pert[:nv])
+    cost_qvel = jax.vmap(lambda qv: cost_fn(state.qpos, qv, state.ctrl))(
+        qvel_pert[:nv])
+    cost_ctrl = jax.vmap(lambda u: cost_fn(state.qpos, state.qvel, u))(
+        ctrl_pert[:nu])
+    gx = jnp.concatenate([(cost_qpos - cost0), (cost_qvel - cost0)]) / eps
+    gu = (cost_ctrl - cost0) / eps
+
+    A, B = _assemble(model, Jq, Jv, Ju, cfg.compat_transpose_A)
+    del qacc0
+    return LinOut(A=A, B=B, gx=gx, gu=gu, cost=cost0)
+
+
+def linearize_ad(model: Model, state: State, cost_fn: CostFn,
+                 cfg: LinearizeConfig = LinearizeConfig()) -> LinOut:
+    """Forward-mode autodiff linearization: exact Jacobians of the pinned
+    pipeline, exact cost gradients.  Same output contract as linearize_fd."""
+    nv, nu = model.nv, model.nu
+    sc = _center(model, state, cfg)
+    warm = sc.qacc_warmstart
+
+    def qacc_of(dq, dv, du):
+        qpos = fwd.integrate_pos(model, state.qpos, dq, 1.0)
+        s = state.replace(qpos=qpos, qvel=state.qvel + dv,
+                          ctrl=state.ctrl + du, qacc_warmstart=warm)
+        return fwd.forward(model, s, iterations=cfg.niter,
+                           tolerance=0.0).qacc
+
+    z_v = jnp.zeros(nv, state.qpos.dtype)
+    z_u = jnp.zeros(nu, state.qpos.dtype)
+    Jq = jax.jacfwd(lambda d: qacc_of(d, z_v, z_u))(z_v)
+    Jv = jax.jacfwd(lambda d: qacc_of(z_v, d, z_u))(z_v)
+    Ju = jax.jacfwd(lambda d: qacc_of(z_v, z_v, d))(z_u)
+
+    def cost_of(dq, dv, du):
+        qpos = fwd.integrate_pos(model, state.qpos, dq, 1.0)
+        return cost_fn(qpos, state.qvel + dv, state.ctrl + du)
+
+    gq = jax.grad(lambda d: cost_of(d, z_v, z_u))(z_v)
+    gv = jax.grad(lambda d: cost_of(z_v, d, z_u))(z_v)
+    gu = jax.grad(lambda d: cost_of(z_v, z_v, d))(z_u)
+    cost0 = cost_fn(state.qpos, state.qvel, state.ctrl)
+
+    A, B = _assemble(model, Jq, Jv, Ju, cfg.compat_transpose_A)
+    return LinOut(A=A, B=B, gx=jnp.concatenate([gq, gv]), gu=gu, cost=cost0)
+
+
+def linearize_traj(model: Model, states: State, cost_fn: CostFn,
+                   cfg: LinearizeConfig = LinearizeConfig()) -> LinOut:
+    """Linearize every knot of a stacked trajectory State in one batched
+    pass: vmap over knots x (vmap over perturbations) — this single call
+    replaces the reference's N+1 serialized calcMJDerivatives invocations
+    inside the backward loop (inc/ilqr.h:153-154)."""
+    fn = linearize_fd if cfg.engine == "fd" else linearize_ad
+    return jax.vmap(lambda s: fn(model, s, cost_fn, cfg))(states)

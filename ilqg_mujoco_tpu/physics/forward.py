@@ -96,10 +96,11 @@ def _euler(model: Model, state: State, aux: ForwardAux) -> State:
     qacc = state.qacc
     if (not model.opt.disable_eulerdamp) and float(
             model.dof_damping.sum()) > 0:
+        from ..ops import linalg
         MhB = aux.kin.M + h * jnp.diag(
             jnp.asarray(model.dof_damping, qacc.dtype))
         qfrc = aux.qfrc_smooth + aux.qfrc_constraint
-        qacc = jnp.linalg.solve(MhB, qfrc)
+        qacc = linalg.solve_psd(MhB, qfrc)
     qvel = state.qvel + h * qacc
     qpos = integrate_pos(model, state.qpos, qvel, h)
     return state.replace(time=state.time + h, qpos=qpos, qvel=qvel)

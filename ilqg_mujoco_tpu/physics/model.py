@@ -194,8 +194,13 @@ class State:
         return dataclasses.replace(self, **kw)
 
 
-def make_state(model: Model, dtype=jnp.float64) -> State:
-    """Fresh State at qpos0 (mj_makeData semantics)."""
+def make_state(model: Model, dtype=None) -> State:
+    """Fresh State at qpos0 (mj_makeData semantics).
+
+    dtype defaults to the platform default float (f64 under jax_enable_x64 —
+    the golden-parity mode — else f32, the TPU mode)."""
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
     return State(
         time=jnp.zeros((), dtype),
         qpos=jnp.asarray(model.qpos0, dtype),

@@ -296,8 +296,11 @@ def smooth_dynamics(model: Model, qpos, qvel, ctrl, qfrc_applied,
     qfrc_actuator = actuator_force(model, ctrl)
     qfrc_smooth = (qfrc_passive + qfrc_actuator - qfrc_bias
                    + applied_force(model, kin, qfrc_applied, xfrc_applied))
-    Mfac = jax.scipy.linalg.cho_factor(kin.M)
-    qacc_smooth = jax.scipy.linalg.cho_solve(Mfac, qfrc_smooth)
+    # pure-JAX Cholesky (ops/linalg.py): no LAPACK custom calls — see the
+    # miscompile note there; Mfac is the lower factor L
+    from ..ops import linalg
+    Mfac = linalg.cholesky(kin.M)
+    qacc_smooth = linalg.cho_solve(Mfac, qfrc_smooth)
     return kin, qfrc_smooth, qacc_smooth, Mfac
 
 

@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import linalg
 from .constraint import Efc
 
 
@@ -87,7 +88,7 @@ def solve(M: jnp.ndarray, Mfac, qacc_smooth: jnp.ndarray, efc: Efc,
         alpha = linesearch(x, p)
         x_new = x + alpha * p
         g_new = grad(x_new)
-        Mg_new = jax.scipy.linalg.cho_solve(Mfac, g_new)
+        Mg_new = linalg.cho_solve(Mfac, g_new)
         beta = jnp.maximum(
             0.0, (g_new @ (Mg_new - Mg)) / jnp.maximum(g @ Mg, 1e-15))
         p_new = -Mg_new + beta * p
@@ -99,7 +100,7 @@ def solve(M: jnp.ndarray, Mfac, qacc_smooth: jnp.ndarray, efc: Efc,
         return (it < iterations) & jnp.logical_not(done)
 
     g0 = grad(x0)
-    Mg0 = jax.scipy.linalg.cho_solve(Mfac, g0)
+    Mg0 = linalg.cho_solve(Mfac, g0)
     init = (x0, g0, Mg0, -Mg0, jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.bool_))
     if tolerance == 0.0:

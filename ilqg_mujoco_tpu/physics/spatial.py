@@ -91,12 +91,19 @@ def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
     q_next = q ⊗ exp(0.5 * omega * dt).  Used for ball/free-joint qpos
     integration and quaternion-aware FD perturbation
     (/root/reference/src/mjderivative.cpp:163-171,186-194).
+
+    Implemented as a *smooth* quaternion exponential (regularized theta, no
+    normalize-the-axis branch) so forward-mode autodiff through it is finite
+    at omega = 0 — required by the AD linearizer's tangent-space perturbation
+    of quaternion states (ops/linearize.py).  The regularizer (1e-30) changes
+    results by < 1e-24 relative, far below f64 noise.
     """
-    angle = jnp.linalg.norm(omega, axis=-1) * dt
-    # safe normalize
-    nrm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    axis = omega / jnp.where(nrm > 0, nrm, 1.0)
-    dq = axis_angle_to_quat(axis, angle)
+    v = omega * dt
+    theta = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-30)
+    half = 0.5 * theta
+    s = jnp.sin(half) / theta          # -> 0.5 smoothly as theta -> 0
+    dq = jnp.concatenate(
+        [jnp.cos(half)[..., None], s[..., None] * v], axis=-1)
     return quat_normalize(quat_mul(q, dq))
 
 

@@ -6,9 +6,14 @@ recommended in SURVEY.md §4 (CPU mesh via xla_force_host_platform_device_count)
 """
 import os
 
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# --xla_backend_optimization_level=1: this image's jax 0.9.0 XLA:CPU
+# miscompiles large fused iLQR graphs at the default optimization level
+# (out-of-bounds kernel writes -> heap corruption, found by bisection while
+# building the solver; TPU is unaffected).  Level 1 is verified clean.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_backend_optimization_level=1"
 )
 
 import jax

@@ -1,0 +1,100 @@
+"""iLQR solver and MPC tests: compat recursion cross-checked against an
+independent numpy replica, cost descent, and closed-loop balance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilqg_mujoco_tpu import ilqr, mpc
+from ilqg_mujoco_tpu.models import envs
+from ilqg_mujoco_tpu.ops.linearize import linearize_traj
+from ilqg_mujoco_tpu.physics.model import make_state
+
+
+def _numpy_backward_compat(A, B, gx, gu, diffs, mu, N):
+    """Independent numpy transcription of inc/ilqr.h:133-176 (forward-time
+    indexed) used as an oracle for the lax.scan implementation."""
+    v = gx[N].copy()
+    V = np.outer(v, v)
+    nu = B.shape[2]
+    nv2 = A.shape[1]
+    K = np.zeros((N + 1, nu, nv2))
+    k = np.zeros((N + 1, nu))
+    for t in range(N - 1, -1, -1):
+        V = 0.5 * (V + V.T)
+        At, Bt, q, r, c = A[t], B[t], gx[t], gu[t], diffs[t]
+        Q = np.outer(q, q)
+        R = np.outer(r, r)
+        V = V + mu * np.eye(nv2)
+        T = -2 * Bt.T @ V @ Bt - 2 * R
+        K[t] = np.linalg.solve(T, 2 * Bt.T @ V @ At)
+        k[t] = np.linalg.solve(T, Bt.T @ (v + 2 * V @ c) + r)
+        ABK = At + Bt @ K[t]
+        V = ABK.T @ V @ ABK + Q + K[t].T @ R @ K[t]
+        v = 2 * (Bt @ k[t] + c) @ V @ ABK + v @ ABK + q + 2 * k[t] @ R @ K[t]
+    return K, k
+
+
+def test_backward_compat_vs_numpy_oracle():
+    env = envs.pendulum()
+    m, cfg = env.model, env.ilqr
+    s0 = make_state(m).replace(qpos=jnp.asarray([0.05, 0.2]))
+    sol = ilqr.init_solver(m, s0, cfg)
+    traj = ilqr.forward_pass(m, s0, sol, cfg)
+    lin = linearize_traj(m, traj, env.cost_fn, cfg.lin)
+    K, k = ilqr.backward_pass_compat(m, traj, lin, cfg)
+
+    diffs = np.concatenate([np.asarray(traj.qpos[1:] - traj.qpos[:-1]),
+                            np.asarray(traj.qvel[1:] - traj.qvel[:-1])],
+                           axis=1)
+    Kn, kn = _numpy_backward_compat(
+        np.asarray(lin.A), np.asarray(lin.B), np.asarray(lin.gx),
+        np.asarray(lin.gu), diffs, cfg.mu, cfg.horizon)
+    np.testing.assert_allclose(np.asarray(K), Kn, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k), kn, rtol=1e-8, atol=1e-10)
+
+
+def test_compat_solve_decreases_cost():
+    """Near-upright pendulum: the reference configuration must reduce cost
+    over its 10 iterations (the demo's implicit success criterion)."""
+    env = envs.pendulum()
+    s0, sol0 = mpc.init(env)
+    sol, trace = jax.jit(
+        lambda s, so: ilqr.solve(env.model, env.cost_fn, s, so, env.ilqr)
+    )(s0, sol0)
+    trace = np.asarray(trace)
+    assert trace[-1] < 0.5 * trace[0], trace
+
+
+def test_tassa_solve_decreases_cost_displaced():
+    """tassa mode from a 0.6 rad displacement: monotone non-increasing trace
+    (linesearch guarantees descent) and large net improvement."""
+    env = envs.pendulum(mode="tassa", engine="ad")
+    s0 = make_state(env.model).replace(qpos=jnp.asarray([0.0, 0.6]))
+    sol0 = ilqr.init_solver(env.model, s0, env.ilqr)
+    cost0 = float(jnp.sum(jax.vmap(env.cost_fn)(
+        sol0.traj.qpos, sol0.traj.qvel, sol0.traj.ctrl)))
+    _, trace = jax.jit(
+        lambda s, so: ilqr.solve(env.model, env.cost_fn, s, so, env.ilqr)
+    )(s0, sol0)
+    trace = np.asarray(trace)
+    # trace[i] is the cost after iteration i (trace[0] already improved)
+    assert np.all(np.diff(trace) <= 1e-9), trace
+    assert trace[-1] < 0.1 * cost0, (trace, cost0)
+
+
+def test_mpc_balances_pendulum():
+    """Closed-loop MPC (reference demo scenario): pole stays upright, cart
+    stays near origin over 100 frames (2 simulated seconds)."""
+    env = envs.pendulum()
+    out = jax.jit(lambda: mpc.run(env, 100))()
+    qpos = np.asarray(out.env_states.qpos)
+    assert np.abs(qpos[:, 1]).max() < 0.05          # pole angle (rad)
+    assert np.abs(qpos[:, 0]).max() < 0.25          # cart position (m)
+
+
+def test_mpc_cost_trace_shape():
+    env = envs.pendulum()
+    out = jax.jit(lambda: mpc.run(env, 5))()
+    assert out.cost_trace.shape == (5, env.ilqr.iterations)
+    assert np.all(np.isfinite(np.asarray(out.cost_trace)))
