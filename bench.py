@@ -41,15 +41,25 @@ def main():
     sb, sols = pbatch.init_batched(env, batch, qpos_noise=0.01)
     solve = pbatch.make_batched_solve(env)
 
-    # compile + warm up
-    sols2, traces = solve(sb, sols)
-    jax.block_until_ready(traces)
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    def timed_run():
         sols2, traces = solve(sb, sols)
-    jax.block_until_ready(traces)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(traces)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sols2, traces = solve(sb, sols)
+        jax.block_until_ready(traces)
+        return time.perf_counter() - t0
+
+    # the tunneled TPU occasionally drops a call with a transient
+    # UNAVAILABLE device error; retry a few times
+    for attempt in range(3):
+        try:
+            dt = timed_run()
+            break
+        except Exception as e:   # jax.errors.JaxRuntimeError
+            if attempt == 2:
+                raise
+            time.sleep(5.0)
 
     total_iters = batch * env.ilqr.iterations * reps
     rate = total_iters / dt
