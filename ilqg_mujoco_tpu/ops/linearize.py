@@ -59,6 +59,11 @@ class LinearizeConfig:
     compat_transpose_A: bool = False
     # 'fd' (reference-exact) | 'ad' (forward-mode autodiff)
     engine: str = "fd"
+    # knots linearized concurrently by linearize_traj: None = all at once
+    # (fastest), k = sequential lax.map over ceil(T/k) chunks of k (peak
+    # memory / (T/k) — needed for 4096-instance batches where the whole-
+    # horizon tangent intermediates exceed HBM)
+    chunk_knots: int = None
 
 
 class LinOut(NamedTuple):
@@ -227,4 +232,18 @@ def linearize_traj(model: Model, states: State, cost_fn: CostFn,
     replaces the reference's N+1 serialized calcMJDerivatives invocations
     inside the backward loop (inc/ilqr.h:153-154)."""
     fn = linearize_fd if cfg.engine == "fd" else linearize_ad
-    return jax.vmap(lambda s: fn(model, s, cost_fn, cfg))(states)
+    f = lambda s: fn(model, s, cost_fn, cfg)
+    if cfg.chunk_knots is None:
+        return jax.vmap(f)(states)
+    T = states.qpos.shape[0]
+    c = cfg.chunk_knots
+    nchunk = -(-T // c)
+    pad = nchunk * c - T
+    tm = jax.tree_util.tree_map
+    padded = tm(
+        lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+        if pad else a, states)
+    chunked = tm(lambda a: a.reshape((nchunk, c) + a.shape[1:]), padded)
+    out = jax.lax.map(jax.vmap(f), chunked)
+    return tm(lambda a: a.reshape((nchunk * c,) + a.shape[2:])[:T], out)
