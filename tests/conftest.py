@@ -20,6 +20,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the iLQR/MPC graphs take minutes to build on CPU;
+# repeat test runs hit the cache instead
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import pytest  # noqa: E402
 
