@@ -111,51 +111,85 @@ def make_efc(model: Model, kin: KinOut, qpos: jnp.ndarray, qvel: jnp.ndarray,
                         float(model.dof_invweight0[dadr]),
                         dist < margin)
 
-    # ---- contacts (pyramidal cone) -------------------------------------
-    if not model.opt.disable_contact and len(contacts.dist) > 0:
-        biw = model.body_invweight0
-        for i in range(len(contacts.dist)):
-            b1 = int(contacts.body1[i])
-            b2 = int(contacts.body2[i])
-            condim = int(contacts.condim[i])
-            n = contacts.frame[i, 0]
-            pos_w = contacts.pos[i]
-            margin = float(contacts.margin[i])
-            gap = float(contacts.gap[i])
-            dist = contacts.dist[i]
-            included = dist < (margin - gap)
-            invw = float(biw[b1, 0] + biw[b2, 0])
-            mask1 = c(model.dof_mask)[b1]
-            mask2 = c(model.dof_mask)[b2]
-            lin = kin.S[:, 3:] + jnp.cross(kin.S[:, :3], pos_w[None, :])
-            Jp = (mask2 - mask1)[:, None] * lin       # (nv, 3) relative jac
-            Jn = Jp @ n
-            solref_i = c(contacts.solref[i])
-            solimp_i = c(contacts.solimp[i])
-            if condim == 1:
-                add_row(Jn, dist, margin, solref_i, solimp_i, invw, included)
-            else:
-                mu = float(contacts.friction[i][0])
-                invw_pyr = invw * 2.0 * mu * mu * (1.0 + mu * mu)
-                for tdim in range(1, min(condim, 3)):
-                    t = contacts.frame[i, tdim]
-                    Jt = Jp @ t
-                    for sgn in (1.0, -1.0):
-                        add_row(Jn + sgn * mu * Jt, dist, margin, solref_i,
-                                solimp_i, invw_pyr, included)
+    # limit rows (few) are built above row-by-row; stack them
+    if rows_J:
+        J_lim = jnp.stack(rows_J)
+        dist_lim = jnp.stack(rows_dist)
+        margin_lim = jnp.stack(rows_margin)
+        included_lim = jnp.stack(rows_included)
+        solref_lim = jnp.stack(rows_solref)
+        solimp_lim = jnp.stack(rows_solimp)
+        invw_lim = jnp.stack(rows_invw)
+    else:
+        J_lim = jnp.zeros((0, model.nv), dt)
+        dist_lim = margin_lim = invw_lim = jnp.zeros((0,), dt)
+        included_lim = jnp.zeros((0,), bool)
+        solref_lim = jnp.zeros((0, 2), dt)
+        solimp_lim = jnp.zeros((0, 5), dt)
 
-    nefc = len(rows_J)
+    # ---- contacts (pyramidal cone), fully vectorized over slots ---------
+    # Row layout per condim group is precomputed statically; the jnp work is
+    # a handful of einsums regardless of slot count (the humanoid has ~80
+    # candidate slots -> ~300 rows; a per-row python loop used to dominate
+    # trace/compile time).
+    ncon = len(contacts.dist)
+    if not model.opt.disable_contact and ncon > 0:
+        biw = model.body_invweight0
+        maskdiff = (model.dof_mask[contacts.body2]
+                    - model.dof_mask[contacts.body1])          # (ncon, nv)
+        lin = (kin.S[None, :, 3:]
+               + jnp.cross(jnp.broadcast_to(kin.S[None, :, :3],
+                                            (ncon, model.nv, 3)),
+                           contacts.pos[:, None, :]))          # (ncon,nv,3)
+        Jp = c(maskdiff)[:, :, None] * lin
+        Jnrm = jnp.einsum("cnk,ck->cn", Jp, contacts.frame[:, 0])
+        Jt1 = jnp.einsum("cnk,ck->cn", Jp, contacts.frame[:, 1])
+        Jt2 = jnp.einsum("cnk,ck->cn", Jp, contacts.frame[:, 2])
+
+        margin_c = np.asarray(contacts.margin)
+        gap_c = np.asarray(contacts.gap)
+        included_c = contacts.dist < c(margin_c - gap_c)
+        mu_c = np.asarray(contacts.friction[:, 0])
+        invw_c = (biw[contacts.body1, 0] + biw[contacts.body2, 0])
+        invw_pyr = invw_c * 2.0 * mu_c * mu_c * (1.0 + mu_c * mu_c)
+
+        i1 = np.where(contacts.condim == 1)[0]     # static partitions
+        i3 = np.where(contacts.condim >= 3)[0]
+        mu3 = c(mu_c[i3])[:, None]
+
+        J_con = jnp.concatenate([
+            Jnrm[i1],
+            Jnrm[i3] + mu3 * Jt1[i3], Jnrm[i3] - mu3 * Jt1[i3],
+            Jnrm[i3] + mu3 * Jt2[i3], Jnrm[i3] - mu3 * Jt2[i3]])
+        dist_con = jnp.concatenate([contacts.dist[i1]]
+                                   + [contacts.dist[i3]] * 4)
+        included_con = jnp.concatenate([included_c[i1]]
+                                       + [included_c[i3]] * 4)
+        margin_con = c(np.concatenate([margin_c[i1]] + [margin_c[i3]] * 4))
+        solref_con = c(np.concatenate([contacts.solref[i1]]
+                                      + [contacts.solref[i3]] * 4, axis=0))
+        solimp_con = c(np.concatenate([contacts.solimp[i1]]
+                                      + [contacts.solimp[i3]] * 4, axis=0))
+        invw_con = c(np.concatenate([invw_c[i1]] + [invw_pyr[i3]] * 4))
+    else:
+        J_con = jnp.zeros((0, model.nv), dt)
+        dist_con = margin_con = invw_con = jnp.zeros((0,), dt)
+        included_con = jnp.zeros((0,), bool)
+        solref_con = jnp.zeros((0, 2), dt)
+        solimp_con = jnp.zeros((0, 5), dt)
+
+    nefc = J_lim.shape[0] + J_con.shape[0]
     if nefc == 0:
         return Efc(J=jnp.zeros((0, model.nv), dt), D=jnp.zeros((0,), dt),
                    aref=jnp.zeros((0,), dt), pos=jnp.zeros((0,), dt))
 
-    J = jnp.stack(rows_J)                       # (nefc, nv)
-    dist = jnp.stack(rows_dist)
-    margin = jnp.stack(rows_margin)
-    included = jnp.stack(rows_included)
-    solref = jnp.stack(rows_solref)
-    solimp = jnp.stack(rows_solimp)
-    invw = jnp.stack(rows_invw)
+    J = jnp.concatenate([J_lim, J_con])
+    dist = jnp.concatenate([dist_lim, dist_con])
+    margin = jnp.concatenate([margin_lim, margin_con])
+    included = jnp.concatenate([included_lim, included_con])
+    solref = jnp.concatenate([solref_lim, solref_con])
+    solimp = jnp.concatenate([solimp_lim, solimp_con])
+    invw = jnp.concatenate([invw_lim, invw_con])
 
     r = dist - margin
     imp = _impedance(solimp, r)
