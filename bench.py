@@ -23,6 +23,11 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 

@@ -20,11 +20,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the iLQR/MPC graphs take minutes to build on CPU;
-# repeat test runs hit the cache instead
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# NOTE: do NOT enable the persistent compilation cache here.  In this image
+# the cache can serve XLA:CPU AOT executables compiled with mismatched
+# machine-feature flags (the loader warns "prefer-no-scatter not supported on
+# the host machine") which produced silently different numerics in sharded
+# tests.  Golden-parity tests must always compile fresh.
 
 import pytest  # noqa: E402
 
