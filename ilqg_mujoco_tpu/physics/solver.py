@@ -19,6 +19,7 @@ reproducible and fully unrolled/vmapped by XLA.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -43,7 +44,56 @@ def solve(M: jnp.ndarray, Mfac, qacc_smooth: jnp.ndarray, efc: Efc,
         return SolveOut(qacc_smooth, jnp.zeros(nv, dt),
                         jnp.zeros((), jnp.int32))
 
-    J, D, aref = efc.J, efc.D, efc.aref
+    x = _solve_qacc(M, Mfac, qacc_smooth, efc.J, efc.D, efc.aref, warmstart,
+                    iterations, tolerance, ls_iterations)
+    jar = efc.J @ x - efc.aref
+    f = jnp.where(jar < 0, -efc.D * jar, 0.0)
+    qfrc_constraint = efc.J.T @ f
+    # niter is not observable through the implicit-diff wrapper; report 0
+    return SolveOut(x, qfrc_constraint, jnp.zeros((), jnp.int32))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(7, 8, 9))
+def _solve_qacc(M, Mfac, qacc_smooth, J, D, aref, warmstart,
+                iterations, tolerance, ls_iterations):
+    """qacc from the projected-CG solver, with *implicit differentiation*.
+
+    Differentiating through the unrolled CG iterations is both wasteful
+    (tangents propagate through every iteration) and unstable — in f32 the
+    amplified tangent noise produced NaN humanoid Jacobians.  Instead the
+    custom JVP below differentiates the optimality condition at the solution
+    (MJX-style): with the active set A = {i : J_i x < aref_i, D_i > 0} frozen,
+        R(x) = M (x - a_s) + J_A^T D_A (J_A x - aref_A) = 0
+    so  (M + J_A^T D_A J_A) dx = -dR|_x,  one SPD solve per tangent.  The JVP
+    is linear in the tangents, so JAX can transpose it — reverse-mode AD
+    through `step` keeps working."""
+    return _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
+                     iterations, tolerance, ls_iterations)
+
+
+@_solve_qacc.defjvp
+def _solve_qacc_jvp(iterations, tolerance, ls_iterations, primals, tangents):
+    M, Mfac, qacc_smooth, J, D, aref, warmstart = primals
+    dM, _, dqs, dJ, dD, daref, _ = tangents
+    x = _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
+                  iterations, tolerance, ls_iterations)
+    from ..ops import linalg
+    jar = J @ x - aref
+    act = (jar < 0) & (D > 0)
+    Deff = jnp.where(act, D, 0.0)
+    H = M + J.T @ (Deff[:, None] * J)
+    Hfac = linalg.cholesky(H)
+    dR = (dM @ (x - qacc_smooth) - M @ dqs
+          + dJ.T @ (Deff * jar)
+          + J.T @ (jnp.where(act, dD, 0.0) * jar)
+          + J.T @ (Deff * (dJ @ x - daref)))
+    dx = -linalg.cho_solve(Hfac, dR)
+    return x, dx
+
+
+def _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
+              iterations, tolerance, ls_iterations):
+    dt = qacc_smooth.dtype
 
     def cost(x):
         dx = x - qacc_smooth
@@ -105,15 +155,10 @@ def solve(M: jnp.ndarray, Mfac, qacc_smooth: jnp.ndarray, efc: Efc,
             jnp.zeros((), jnp.bool_))
     if tolerance == 0.0:
         # pinned mode (the FD determinism protocol,
-        # /root/reference/src/mjderivative.cpp:241-242): static trip count —
-        # bit-reproducible AND reverse-mode differentiable (while_loop is
-        # forward-mode only)
+        # /root/reference/src/mjderivative.cpp:241-242): static trip count,
+        # bit-reproducible
         x, g, _, _, niter, _ = jax.lax.fori_loop(
             0, iterations, lambda _, c: cg_body(c), init)
     else:
         x, g, _, _, niter, _ = jax.lax.while_loop(cg_cond, cg_body, init)
-
-    jar = J @ x - aref
-    f = jnp.where(jar < 0, -D * jar, 0.0)
-    qfrc_constraint = J.T @ f
-    return SolveOut(x, qfrc_constraint, niter)
+    return x
