@@ -60,12 +60,17 @@ def _make_tangents(n):
 
 def _axis_tangents(n, axis):
     """Plane-capsule frame: t1 = -normalize(axis projected into the plane),
-    falling back to mju_makeFrame when the capsule is normal to the plane."""
+    falling back to mju_makeFrame when the capsule is normal to the plane.
+
+    The zero-projection branch must be guarded BEFORE the norm: d‖x‖ at x=0
+    is NaN and jnp.where cannot mask NaN cotangents (0·NaN = NaN), which
+    poisoned grads of any pose with a plane-normal capsule (e.g. the upright
+    hopper)."""
     proj = axis - n * jnp.dot(n, axis)
-    nrm = jnp.linalg.norm(proj)
+    ok = jnp.sum(proj * proj) > 1e-20
+    psafe = jnp.where(ok, proj, jnp.asarray([1.0, 0, 0], n.dtype))
     tm1, tm2 = _make_tangents(n)
-    ok = nrm > 1e-10
-    t1 = jnp.where(ok, -proj / jnp.where(ok, nrm, 1.0), tm1)
+    t1 = jnp.where(ok, -psafe / jnp.linalg.norm(psafe), tm1)
     t2 = jnp.where(ok, jnp.cross(n, t1), tm2)
     return t1, t2
 
@@ -97,10 +102,11 @@ def _seg_seg_closest(p1, d1, hl1, p2, d2, hl2):
 
 def _sphere_sphere(c1, r1, c2, r2):
     d = c2 - c1
-    nrm = jnp.linalg.norm(d)
-    n = d / jnp.where(nrm > 1e-12, nrm, 1.0)
-    n = jnp.where(nrm > 1e-12, n, jnp.asarray([0.0, 0, 1], c1.dtype))
-    dist = nrm - (r1 + r2)
+    ok = jnp.sum(d * d) > 1e-24
+    dsafe = jnp.where(ok, d, jnp.asarray([0.0, 0, 1], c1.dtype))
+    nrm = jnp.linalg.norm(dsafe)   # guarded pre-norm: d‖x‖ at 0 is NaN
+    n = dsafe / nrm
+    dist = jnp.where(ok, nrm, 0.0) - (r1 + r2)
     pos = c1 + n * (r1 + 0.5 * dist)
     return dist, pos, n
 
@@ -149,11 +155,36 @@ def collide(model: Model, geom_xpos, geom_xmat) -> Contacts:
             d, pos, n = _sphere_sphere(p1, float(s1[0]), c2, float(s2[0]))
             add(g1, g2, d, pos, n)
         elif t1g == GEOM_CAPSULE and t2g == GEOM_CAPSULE:
+            # Two static slots per pair: MuJoCo's capsule-capsule emits TWO
+            # contacts when the axes are (numerically exactly) parallel — at
+            # the endpoints of the axial overlap interval, degenerating to
+            # duplicates when the segments don't overlap axially — and ONE
+            # closest-point contact otherwise (mjc_CapsuleCapsule; verified
+            # empirically against mujoco 3.10).  Slot 2 is masked out
+            # (dist=+BIG) in the non-parallel case.
             a1, a2 = R1[:, 2], R2[:, 2]
-            c1, c2 = _seg_seg_closest(p1, a1, float(s1[1]),
-                                      p2, a2, float(s2[1]))
-            d, pos, n = _sphere_sphere(c1, float(s1[0]), c2, float(s2[0]))
-            add(g1, g2, d, pos, n)
+            hl1, hl2 = float(s1[1]), float(s2[1])
+            r1, r2 = float(s1[0]), float(s2[0])
+            b = jnp.dot(a1, a2)
+            # MuJoCo's parallel test is den < mjMINVAL(=1e-15)·len1²·len2²;
+            # with unit axes that is 1-b² < 1e-15.  We widen it per-dtype so
+            # rotation round-off of genuinely parallel axes still triggers it.
+            tol = 1e-12 if dt == jnp.float64 else 1e-6
+            par = (1.0 - b * b) < tol
+            cg1, cg2 = _seg_seg_closest(p1, a1, hl1, p2, a2, hl2)
+            # overlap interval of segment 2 projected onto segment 1's axis
+            proj = jnp.dot(p2 - p1, a1)
+            lo = jnp.clip(proj - jnp.abs(b) * hl2, -hl1, hl1)
+            hi = jnp.clip(proj + jnp.abs(b) * hl2, -hl1, hl1)
+            for slot, sp in enumerate((lo, hi)):
+                cp1 = p1 + sp * a1
+                cp2 = p2 + jnp.clip(jnp.dot(cp1 - p2, a2), -hl2, hl2) * a2
+                e1 = jnp.where(par, cp1, cg1)
+                e2 = jnp.where(par, cp2, cg2)
+                d, pos, n = _sphere_sphere(e1, r1, e2, r2)
+                if slot == 1:
+                    d = jnp.where(par, d, jnp.asarray(_BIG, dt))
+                add(g1, g2, d, pos, n)
         # other combos were filtered out at compile time
 
     n = len(dists)
