@@ -11,7 +11,11 @@ axis is the TPU scaling story the reference has no counterpart for
 (SURVEY.md §2a).
 
 Env knobs: ILQG_BENCH_BATCH (default 1024), ILQG_BENCH_REPS (default 5),
-ILQG_BENCH_ENV (pendulum|hopper).
+ILQG_BENCH_ENV (pendulum|hopper|humanoid), ILQG_BENCH_MODE (tassa|compat),
+ILQG_BENCH_ENGINE (ad|fd|exact).  The compat+fd combination is the
+apples-to-apples comparison against the measured C-core baseline (same
+algorithm, same FD schedule); the default tassa+ad is the production path.
+Per-phase breakdowns: tools/perf_breakdown.py.
 """
 
 import json
@@ -35,13 +39,15 @@ def main():
     env_name = os.environ.get("ILQG_BENCH_ENV", "pendulum")
     batch = int(os.environ.get("ILQG_BENCH_BATCH", "1024"))
     reps = int(os.environ.get("ILQG_BENCH_REPS", "5"))
+    mode = os.environ.get("ILQG_BENCH_MODE", "tassa")
+    engine = os.environ.get("ILQG_BENCH_ENGINE", "ad")
 
     from ilqg_mujoco_tpu.models import envs
     from ilqg_mujoco_tpu.parallel import batch as pbatch
 
-    # TPU path: f32, AD linearizer (exact Jacobians; FD compat mode is for
-    # f64 golden work on CPU)
-    env = envs.make(env_name, mode="tassa", engine="ad")
+    # TPU path default: f32, tassa + AD linearizer; compat+fd reproduces the
+    # reference algorithm/FD schedule for apples-to-apples baselining
+    env = envs.make(env_name, mode=mode, engine=engine)
 
     sb, sols = pbatch.init_batched(env, batch, qpos_noise=0.01)
     solve = pbatch.make_batched_solve(env)
@@ -77,8 +83,9 @@ def main():
         if ref:
             vs = rate / ref
 
+    suffix = "" if (mode, engine) == ("tassa", "ad") else f"_{mode}_{engine}"
     print(json.dumps({
-        "metric": f"ilqr_iters_per_s_{env_name}_batch{batch}",
+        "metric": f"ilqr_iters_per_s_{env_name}_batch{batch}{suffix}",
         "value": round(rate, 2),
         "unit": "iLQR iterations/s/chip",
         "vs_baseline": round(vs, 2) if vs else None,

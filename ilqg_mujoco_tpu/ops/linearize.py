@@ -19,8 +19,16 @@ Two engines:
   before each perturbed eval :91,102,...), one-sided cost gradients
   (:88,120,174).
 * :func:`linearize_ad` — forward-mode autodiff through the (pinned,
-  differentiable) pipeline: exact Jacobians, no epsilon, the TPU-native
-  default.
+  differentiable) pipeline: exact qacc Jacobians, no epsilon, Euler-assembled
+  like the reference.
+* :func:`linearize_exact` — forward-mode autodiff of the FULL discrete step
+  map x' = step(x, u): exact discrete-time (A, B) for ANY integrator.  The
+  reference (and the 'fd'/'ad' engines) assemble A, B by explicit-Euler
+  discretization of the qacc Jacobians (inc/differentiator.h:89-92) even when
+  the model integrates RK4 (res/inverted_pendulum.xml:9 — SURVEY.md §7.0.9);
+  that O(h^2) model error caps how far the solver can descend (observed: the
+  T=100 pendulum stalls because predicted descent directions stop being
+  descent directions).  'exact' removes the cap.
 
 Both produce Euler-discretized (A, B) like Differentiator::updateDerivatives
 (inc/differentiator.h:85-93):
@@ -57,8 +65,14 @@ class LinearizeConfig:
     niter: int = 30          # pinned solver iterations
     nwarmup: int = 3         # center-point repetitions
     compat_transpose_A: bool = False
-    # 'fd' (reference-exact) | 'ad' (forward-mode autodiff)
+    # 'fd' (reference-exact) | 'ad' (AD of qacc, Euler-assembled like the
+    # reference) | 'exact' (AD of the full discrete step: correct for RK4)
     engine: str = "fd"
+    # stage-split FD (the mj_forwardSkip economy,
+    # src/mjderivative.cpp:92,124,178): evaluate only the pipeline stages a
+    # perturbation class invalidates.  False = monolithic full-pipeline evals
+    # (round-1 behavior, kept for A/B benchmarking).
+    stage_split: bool = True
     # knots linearized concurrently by linearize_traj: None = all at once
     # (fastest), k = sequential lax.map over ceil(T/k) chunks of k (peak
     # memory / (T/k) — needed for 4096-instance batches where the whole-
@@ -134,16 +148,9 @@ def linearize_fd(model: Model, state: State, cost_fn: CostFn,
 
     sc = _center(model, state, cfg)
     warm = sc.qacc_warmstart
-    qacc0 = sc.qacc
     cost0 = cost_fn(state.qpos, state.qvel, state.ctrl)
 
-    def eval_qacc(qpos, qvel, ctrl):
-        s = state.replace(qpos=qpos, qvel=qvel, ctrl=ctrl,
-                          qacc_warmstart=warm)
-        return fwd.forward(model, s, iterations=cfg.niter,
-                           tolerance=0.0).qacc
-
-    # build the perturbation batch: [qpos+|-, qvel+|-, ctrl+|-]
+    # perturbation batches: [qpos+|-], [qvel+|-], [ctrl+|-]
     qpos_p, qpos_m = [], []
     for i in range(nv):
         qpos_p.append(_perturb_qpos(model, state.qpos, i, eps))
@@ -156,24 +163,57 @@ def linearize_fd(model: Model, state: State, cost_fn: CostFn,
     ctrl_pert = jnp.concatenate([state.ctrl + eps * eyeu,
                                  state.ctrl - eps * eyeu])  # (2nu, nu)
 
-    P = 4 * nv + 2 * nu
-    qpos_b = jnp.concatenate([
-        qpos_pert,
-        jnp.broadcast_to(state.qpos, (2 * nv + 2 * nu, model.nq))])
-    qvel_b = jnp.concatenate([
-        jnp.broadcast_to(state.qvel, (2 * nv, nv)), qvel_pert,
-        jnp.broadcast_to(state.qvel, (2 * nu, nv))])
-    ctrl_b = jnp.concatenate([
-        jnp.broadcast_to(state.ctrl, (4 * nv, nu)), ctrl_pert])
-    assert qpos_b.shape[0] == P
+    def acc_of(pos, vel, ctrl):
+        _, _, _, out = fwd.acc_stage(
+            model, pos, vel, ctrl, state.qfrc_applied, state.xfrc_applied,
+            warm, cfg.niter, 0.0)
+        return out.qacc
 
-    qacc_b = jax.vmap(eval_qacc)(qpos_b, qvel_b, ctrl_b)   # (P, nv)
+    if cfg.stage_split:
+        # per-class stage reuse (mjSTAGE_NONE / POS / VEL analogs)
+        def eval_qpos(qpos):
+            pos = fwd.pos_stage(model, qpos)
+            vel = fwd.vel_stage(model, pos, qpos, state.qvel)
+            return acc_of(pos, vel, state.ctrl)
+
+        pos_c = fwd.pos_stage(model, state.qpos)
+        vel_c = fwd.vel_stage(model, pos_c, state.qpos, state.qvel)
+
+        def eval_qvel(qvel):
+            vel = fwd.vel_stage(model, pos_c, state.qpos, qvel)
+            return acc_of(pos_c, vel, state.ctrl)
+
+        def eval_ctrl(ctrl):
+            return acc_of(pos_c, vel_c, ctrl)
+
+        qacc_q = jax.vmap(eval_qpos)(qpos_pert)         # (2nv, nv)
+        qacc_v = jax.vmap(eval_qvel)(qvel_pert)         # (2nv, nv)
+        qacc_u = jax.vmap(eval_ctrl)(ctrl_pert)         # (2nu, nv)
+    else:
+        # monolithic full-pipeline evals (round-1 behavior, for A/B)
+        def eval_qacc(qpos, qvel, ctrl):
+            s = state.replace(qpos=qpos, qvel=qvel, ctrl=ctrl,
+                              qacc_warmstart=warm)
+            return fwd.forward(model, s, iterations=cfg.niter,
+                               tolerance=0.0).qacc
+
+        qpos_b = jnp.concatenate([
+            qpos_pert,
+            jnp.broadcast_to(state.qpos, (2 * nv + 2 * nu, model.nq))])
+        qvel_b = jnp.concatenate([
+            jnp.broadcast_to(state.qvel, (2 * nv, nv)), qvel_pert,
+            jnp.broadcast_to(state.qvel, (2 * nu, nv))])
+        ctrl_b = jnp.concatenate([
+            jnp.broadcast_to(state.ctrl, (4 * nv, nu)), ctrl_pert])
+        qacc_b = jax.vmap(eval_qacc)(qpos_b, qvel_b, ctrl_b)
+        qacc_q = qacc_b[0:2 * nv]
+        qacc_v = qacc_b[2 * nv:4 * nv]
+        qacc_u = qacc_b[4 * nv:]
 
     inv2eps = 1.0 / (2.0 * eps)
-    Jq = (qacc_b[0:nv] - qacc_b[nv:2 * nv]).T * inv2eps          # (nv,nv)
-    Jv = (qacc_b[2 * nv:3 * nv] - qacc_b[3 * nv:4 * nv]).T * inv2eps
-    Ju = (qacc_b[4 * nv:4 * nv + nu]
-          - qacc_b[4 * nv + nu:]).T * inv2eps                     # (nv,nu)
+    Jq = (qacc_q[:nv] - qacc_q[nv:]).T * inv2eps                  # (nv,nv)
+    Jv = (qacc_v[:nv] - qacc_v[nv:]).T * inv2eps
+    Ju = (qacc_u[:nu] - qacc_u[nu:]).T * inv2eps                  # (nv,nu)
 
     # one-sided cost gradients at the +eps states (reference protocol:
     # forward difference, no dynamics eval needed — cost is state-local)
@@ -187,7 +227,6 @@ def linearize_fd(model: Model, state: State, cost_fn: CostFn,
     gu = (cost_ctrl - cost0) / eps
 
     A, B = _assemble(model, Jq, Jv, Ju, cfg.compat_transpose_A)
-    del qacc0
     return LinOut(A=A, B=B, gx=gx, gu=gu, cost=cost0)
 
 
@@ -225,13 +264,80 @@ def linearize_ad(model: Model, state: State, cost_fn: CostFn,
     return LinOut(A=A, B=B, gx=jnp.concatenate([gq, gv]), gu=gu, cost=cost0)
 
 
+def _qpos_diff(model: Model, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Tangent-space configuration difference a ominus b in R^{nv}
+    (quaternion log map for ball/free joints)."""
+    if model.nq == model.nv:
+        return a - b
+    parts = []
+    for j in range(model.njnt):
+        jt = int(model.jnt_type[j])
+        qadr = int(model.jnt_qposadr[j])
+        if jt in (JNT_SLIDE, JNT_HINGE):
+            parts.append(a[qadr:qadr + 1] - b[qadr:qadr + 1])
+        elif jt == JNT_BALL:
+            parts.append(spatial.quat_sub(a[qadr:qadr + 4],
+                                          b[qadr:qadr + 4]))
+        elif jt == JNT_FREE:
+            parts.append(a[qadr:qadr + 3] - b[qadr:qadr + 3])
+            parts.append(spatial.quat_sub(a[qadr + 3:qadr + 7],
+                                          b[qadr + 3:qadr + 7]))
+    return jnp.concatenate(parts)
+
+
+def linearize_exact(model: Model, state: State, cost_fn: CostFn,
+                    cfg: LinearizeConfig = LinearizeConfig()) -> LinOut:
+    """Exact discrete-time linearization: A = dx'/dx, B = dx'/du of the full
+    step map (integrator included) via forward-mode AD, in tangent-space
+    coordinates.  Output tangents are taken at the center's true next state,
+    so A, B are exactly the Jacobians the Riccati recursion assumes when the
+    trajectory is dynamically consistent.
+
+    ``compat_transpose_A`` does not apply here (there is no Euler assembly to
+    transpose); the flag is ignored."""
+    nv, nu = model.nv, model.nu
+    sc = _center(model, state, cfg)
+    warm = sc.qacc_warmstart
+
+    next0 = fwd.step(model, state.replace(qacc_warmstart=warm),
+                     iterations=cfg.niter, tolerance=0.0)
+    next0 = jax.lax.stop_gradient(next0)
+
+    def next_tangent(dq, dv, du):
+        qpos = fwd.integrate_pos(model, state.qpos, dq, 1.0)
+        s = state.replace(qpos=qpos, qvel=state.qvel + dv,
+                          ctrl=state.ctrl + du, qacc_warmstart=warm)
+        s2 = fwd.step(model, s, iterations=cfg.niter, tolerance=0.0)
+        return jnp.concatenate([_qpos_diff(model, s2.qpos, next0.qpos),
+                                s2.qvel - next0.qvel])
+
+    z_x = jnp.zeros(2 * nv, state.qpos.dtype)
+    z_u = jnp.zeros(nu, state.qpos.dtype)
+    A = jax.jacfwd(lambda dx: next_tangent(dx[:nv], dx[nv:], z_u))(z_x)
+    B = jax.jacfwd(lambda du: next_tangent(z_x[:nv], z_x[nv:], du))(z_u)
+
+    def cost_of(dq, dv, du):
+        qpos = fwd.integrate_pos(model, state.qpos, dq, 1.0)
+        return cost_fn(qpos, state.qvel + dv, state.ctrl + du)
+
+    z_v = jnp.zeros(nv, state.qpos.dtype)
+    gq = jax.grad(lambda d: cost_of(d, z_v, z_u))(z_v)
+    gv = jax.grad(lambda d: cost_of(z_v, d, z_u))(z_v)
+    gu = jax.grad(lambda d: cost_of(z_v, z_v, d))(z_u)
+    cost0 = cost_fn(state.qpos, state.qvel, state.ctrl)
+    return LinOut(A=A, B=B, gx=jnp.concatenate([gq, gv]), gu=gu, cost=cost0)
+
+
+_ENGINES = {"fd": linearize_fd, "ad": linearize_ad, "exact": linearize_exact}
+
+
 def linearize_traj(model: Model, states: State, cost_fn: CostFn,
                    cfg: LinearizeConfig = LinearizeConfig()) -> LinOut:
     """Linearize every knot of a stacked trajectory State in one batched
     pass: vmap over knots x (vmap over perturbations) — this single call
     replaces the reference's N+1 serialized calcMJDerivatives invocations
     inside the backward loop (inc/ilqr.h:153-154)."""
-    fn = linearize_fd if cfg.engine == "fd" else linearize_ad
+    fn = _ENGINES[cfg.engine]
     f = lambda s: fn(model, s, cost_fn, cfg)
     if cfg.chunk_knots is None:
         return jax.vmap(f)(states)

@@ -34,12 +34,13 @@ def initialize(coordinator: Optional[str] = None,
 
 
 def global_mean(x: jnp.ndarray, mesh, axis: str = "data") -> jnp.ndarray:
-    """Mean of a per-instance metric across the whole mesh (one psum over
-    ICI — the only collective this workload needs)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Scalar mean of a per-instance metric across the whole mesh (one psum
+    over ICI — the only collective this workload needs).  Assumes the batch
+    divides evenly over the mesh (per-shard mean of per-shard means)."""
+    from jax.sharding import PartitionSpec as P
 
     def _mean(v):
-        return jax.lax.pmean(v, axis)
+        return jax.lax.pmean(jnp.mean(v), axis)
 
     f = jax.jit(
         jax.shard_map(_mean, mesh=mesh, in_specs=P(axis), out_specs=P()))

@@ -43,6 +43,26 @@ class Efc(NamedTuple):
     pos: jnp.ndarray    # (nefc,)   raw constraint distance (diagnostics)
 
 
+class EfcPos(NamedTuple):
+    """Position-stage constraint quantities (everything except aref's
+    velocity term): the analog of what mj_forwardSkip(mjSTAGE_POS) reuses
+    (/root/reference/src/mjderivative.cpp:124).  ``aref_of`` completes the
+    assembly for a given qvel."""
+    J: jnp.ndarray      # (nefc, nv)
+    D: jnp.ndarray      # (nefc,)
+    k: jnp.ndarray      # (nefc,)  stiffness
+    b: jnp.ndarray      # (nefc,)  damping
+    r: jnp.ndarray      # (nefc,)  dist - margin
+    pos: jnp.ndarray    # (nefc,)  raw constraint distance
+
+    def aref_of(self, qvel: jnp.ndarray) -> jnp.ndarray:
+        return -self.b * (self.J @ qvel) - self.k * self.r
+
+    def with_qvel(self, qvel: jnp.ndarray) -> "Efc":
+        return Efc(J=self.J, D=self.D, aref=self.aref_of(qvel),
+                   pos=self.pos)
+
+
 def _impedance(solimp, r):
     """MuJoCo getimpedance(): position-dependent constraint impedance at
     violation r."""
@@ -76,7 +96,16 @@ def _kb(solref, solimp, imp, timestep):
 def make_efc(model: Model, kin: KinOut, qpos: jnp.ndarray, qvel: jnp.ndarray,
              contacts: Contacts) -> Efc:
     """Assemble all unilateral constraint rows (static shape)."""
-    dt = qvel.dtype
+    return make_efc_pos(model, kin, qpos, contacts).with_qvel(qvel)
+
+
+def make_efc_pos(model: Model, kin: KinOut, qpos: jnp.ndarray,
+                 contacts: Contacts) -> EfcPos:
+    """Position-stage constraint assembly: everything that does not depend on
+    qvel (J, D, impedance, k, b, violation r).  The FD linearizer reuses this
+    across qvel/ctrl perturbations — the mj_forwardSkip stage economy
+    (/root/reference/src/mjderivative.cpp:92,124)."""
+    dt = qpos.dtype
     c = lambda a: jnp.asarray(a, dt)
     rows_J, rows_dist, rows_margin = [], [], []
     rows_solref, rows_solimp, rows_invw, rows_included = [], [], [], []
@@ -180,8 +209,9 @@ def make_efc(model: Model, kin: KinOut, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
     nefc = J_lim.shape[0] + J_con.shape[0]
     if nefc == 0:
-        return Efc(J=jnp.zeros((0, model.nv), dt), D=jnp.zeros((0,), dt),
-                   aref=jnp.zeros((0,), dt), pos=jnp.zeros((0,), dt))
+        z = jnp.zeros((0,), dt)
+        return EfcPos(J=jnp.zeros((0, model.nv), dt), D=z, k=z, b=z, r=z,
+                      pos=z)
 
     J = jnp.concatenate([J_lim, J_con])
     dist = jnp.concatenate([dist_lim, dist_con])
@@ -194,9 +224,7 @@ def make_efc(model: Model, kin: KinOut, qpos: jnp.ndarray, qvel: jnp.ndarray,
     r = dist - margin
     imp = _impedance(solimp, r)
     k, b = _kb(solref, solimp, imp, model.opt.timestep)
-    vel = J @ qvel
-    aref = -b * vel - k * r
 
     R = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
     D = jnp.where(included, 1.0 / R, 0.0)
-    return Efc(J=J, D=D, aref=aref, pos=dist)
+    return EfcPos(J=J, D=D, k=k, b=b, r=r, pos=dist)

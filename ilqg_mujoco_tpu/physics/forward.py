@@ -1,12 +1,22 @@
 """Forward dynamics + integrators: the mj_forward / mj_step analogs.
 
 Pure functions of (Model, State); everything jits, vmaps and differentiates.
-``forward`` is the exact semantic analog of the reference's pinned
-``mj_forwardSkip`` protocol (/root/reference/src/mjderivative.cpp:64-68,
-92,124,178): because the pipeline is *pure*, the skip-stage machinery is
-unnecessary — a perturbed evaluation that only changes ctrl simply reuses the
-same traced graph, and XLA CSEs shared position-stage work across the
-batched-perturbation axis of the FD linearizer.
+The pipeline is decomposed into explicit stages mirroring mj_forwardSkip's
+skip classes (/root/reference/src/mjderivative.cpp:92,124,178):
+
+* :func:`pos_stage`   — kinematics, mass matrix + factor, collision,
+  position-stage constraint assembly (what mjSTAGE_POS skips recomputing);
+* :func:`vel_stage`   — bias/passive forces and the constraint aref
+  (what mjSTAGE_VEL skips);
+* :func:`acc_stage`   — actuation, applied forces, smooth acceleration and
+  the constraint solve.
+
+The FD linearizer evaluates only the stages a perturbation class invalidates
+(ctrl -> acc only; qvel -> vel+acc; qpos -> all), exactly like the
+reference's per-class forwardSkip calls — XLA does NOT deduplicate shared
+stage work across vmap lanes, so the split is done here, not left to the
+compiler.  The AD engine gets the same economy for free from symbolic-zero
+tangent pruning in forward-mode JVP rules.
 
 Integrators: MuJoCo 'Euler' (semi-implicit, implicit joint damping) and 'RK4'
 (classic 4-stage on the qpos manifold).  Both reference models are covered:
@@ -36,6 +46,60 @@ class ForwardAux(NamedTuple):
     solver_niter: jnp.ndarray
 
 
+class PosStage(NamedTuple):
+    """Position-stage products (functions of qpos only)."""
+    kin: smooth.KinOut
+    Mfac: jnp.ndarray
+    contacts: collision.Contacts
+    efc_pos: constraint.EfcPos
+
+
+class VelStage(NamedTuple):
+    """Velocity-stage products (functions of qpos, qvel)."""
+    qfrc_bias: jnp.ndarray
+    qfrc_passive: jnp.ndarray
+    aref: jnp.ndarray
+
+
+def pos_stage(model: Model, qpos: jnp.ndarray) -> PosStage:
+    """Everything that depends on qpos only: kinematics, M + Cholesky factor,
+    collision, position-stage constraint rows."""
+    from ..ops import linalg
+    kin = smooth.kinematics(model, qpos)
+    Mfac = linalg.cholesky(kin.M)
+    contacts = collision.collide(model, kin.geom_xpos, kin.geom_xmat)
+    efc_pos = constraint.make_efc_pos(model, kin, qpos, contacts)
+    return PosStage(kin=kin, Mfac=Mfac, contacts=contacts, efc_pos=efc_pos)
+
+
+def vel_stage(model: Model, pos: PosStage, qpos: jnp.ndarray,
+              qvel: jnp.ndarray) -> VelStage:
+    """Everything invalidated by a qvel change (given pos-stage products)."""
+    return VelStage(
+        qfrc_bias=smooth.bias_force(model, pos.kin, qvel),
+        qfrc_passive=smooth.passive_force(model, qpos, qvel),
+        aref=pos.efc_pos.aref_of(qvel))
+
+
+def acc_stage(model: Model, pos: PosStage, vel: VelStage, ctrl: jnp.ndarray,
+              qfrc_applied: jnp.ndarray, xfrc_applied: jnp.ndarray,
+              qacc_warmstart: jnp.ndarray, iterations: int, tolerance: float):
+    """Actuation + smooth acceleration + constraint solve -> (qacc, aux
+    pieces).  The only stage a ctrl perturbation needs to re-run."""
+    from ..ops import linalg
+    qfrc_actuator = smooth.actuator_force(model, ctrl)
+    qfrc_smooth = (vel.qfrc_passive + qfrc_actuator - vel.qfrc_bias
+                   + smooth.applied_force(model, pos.kin, qfrc_applied,
+                                          xfrc_applied))
+    qacc_smooth = linalg.cho_solve(pos.Mfac, qfrc_smooth)
+    efc = constraint.Efc(J=pos.efc_pos.J, D=pos.efc_pos.D, aref=vel.aref,
+                         pos=pos.efc_pos.pos)
+    out = solver.solve(pos.kin.M, pos.Mfac, qacc_smooth, efc,
+                       qacc_warmstart, iterations, tolerance,
+                       ls_iterations=min(model.opt.ls_iterations, 16))
+    return qfrc_smooth, qacc_smooth, efc, out
+
+
 def forward_full(model: Model, state: State,
                  iterations: Optional[int] = None,
                  tolerance: Optional[float] = None):
@@ -46,17 +110,14 @@ def forward_full(model: Model, state: State,
     it = model.opt.iterations if iterations is None else iterations
     tol = model.opt.tolerance if tolerance is None else tolerance
 
-    kin, qfrc_smooth, qacc_smooth, Mfac = smooth.smooth_dynamics(
-        model, state.qpos, state.qvel, state.ctrl,
-        state.qfrc_applied, state.xfrc_applied)
-    contacts = collision.collide(model, kin.geom_xpos, kin.geom_xmat)
-    efc = constraint.make_efc(model, kin, state.qpos, state.qvel, contacts)
-    out = solver.solve(kin.M, Mfac, qacc_smooth, efc,
-                       state.qacc_warmstart, it, tol,
-                       ls_iterations=min(model.opt.ls_iterations, 16))
+    pos = pos_stage(model, state.qpos)
+    vel = vel_stage(model, pos, state.qpos, state.qvel)
+    qfrc_smooth, qacc_smooth, efc, out = acc_stage(
+        model, pos, vel, state.ctrl, state.qfrc_applied, state.xfrc_applied,
+        state.qacc_warmstart, it, tol)
     new_state = state.replace(qacc=out.qacc, qacc_warmstart=out.qacc)
-    aux = ForwardAux(kin, qfrc_smooth, qacc_smooth, out.qfrc_constraint,
-                     efc, contacts, out.niter)
+    aux = ForwardAux(pos.kin, qfrc_smooth, qacc_smooth, out.qfrc_constraint,
+                     efc, pos.contacts, out.niter)
     return new_state, aux
 
 

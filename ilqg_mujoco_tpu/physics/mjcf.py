@@ -60,7 +60,7 @@ _JNT_TYPES = {"free": JNT_FREE, "ball": JNT_BALL, "slide": JNT_SLIDE,
 _PAIR_MAXCON = {
     (GEOM_PLANE, GEOM_SPHERE): 1,
     (GEOM_PLANE, GEOM_CAPSULE): 2,
-    (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_PLANE, GEOM_BOX): 8,   # 8 masked corner slots (MuJoCo emits <= 4)
     (GEOM_SPHERE, GEOM_SPHERE): 1,
     (GEOM_SPHERE, GEOM_CAPSULE): 1,
     (GEOM_CAPSULE, GEOM_CAPSULE): 2,

@@ -44,13 +44,12 @@ def solve(M: jnp.ndarray, Mfac, qacc_smooth: jnp.ndarray, efc: Efc,
         return SolveOut(qacc_smooth, jnp.zeros(nv, dt),
                         jnp.zeros((), jnp.int32))
 
-    x = _solve_qacc(M, Mfac, qacc_smooth, efc.J, efc.D, efc.aref, warmstart,
-                    iterations, tolerance, ls_iterations)
+    x, niter = _solve_qacc(M, Mfac, qacc_smooth, efc.J, efc.D, efc.aref,
+                           warmstart, iterations, tolerance, ls_iterations)
     jar = efc.J @ x - efc.aref
     f = jnp.where(jar < 0, -efc.D * jar, 0.0)
     qfrc_constraint = efc.J.T @ f
-    # niter is not observable through the implicit-diff wrapper; report 0
-    return SolveOut(x, qfrc_constraint, jnp.zeros((), jnp.int32))
+    return SolveOut(x, qfrc_constraint, niter.astype(jnp.int32))
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(7, 8, 9))
@@ -66,7 +65,11 @@ def _solve_qacc(M, Mfac, qacc_smooth, J, D, aref, warmstart,
         R(x) = M (x - a_s) + J_A^T D_A (J_A x - aref_A) = 0
     so  (M + J_A^T D_A J_A) dx = -dR|_x,  one SPD solve per tangent.  The JVP
     is linear in the tangents, so JAX can transpose it — reverse-mode AD
-    through `step` keeps working."""
+    through `step` keeps working.
+
+    Returns (x, niter): the CG iteration count rides along as a float (its
+    tangent is identically zero) so solve stats stay observable through the
+    custom-JVP wrapper (SURVEY.md §5 metrics row)."""
     return _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
                      iterations, tolerance, ls_iterations)
 
@@ -75,8 +78,8 @@ def _solve_qacc(M, Mfac, qacc_smooth, J, D, aref, warmstart,
 def _solve_qacc_jvp(iterations, tolerance, ls_iterations, primals, tangents):
     M, Mfac, qacc_smooth, J, D, aref, warmstart = primals
     dM, _, dqs, dJ, dD, daref, _ = tangents
-    x = _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
-                  iterations, tolerance, ls_iterations)
+    x, niter = _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
+                         iterations, tolerance, ls_iterations)
     from ..ops import linalg
     jar = J @ x - aref
     act = (jar < 0) & (D > 0)
@@ -88,7 +91,7 @@ def _solve_qacc_jvp(iterations, tolerance, ls_iterations, primals, tangents):
           + J.T @ (jnp.where(act, dD, 0.0) * jar)
           + J.T @ (Deff * (dJ @ x - daref)))
     dx = -linalg.cho_solve(Hfac, dR)
-    return x, dx
+    return (x, niter), (dx, jnp.zeros_like(niter))
 
 
 def _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
@@ -151,7 +154,9 @@ def _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
 
     g0 = grad(x0)
     Mg0 = linalg.cho_solve(Mfac, g0)
-    init = (x0, g0, Mg0, -Mg0, jnp.zeros((), jnp.int32),
+    # niter is carried as a float so the custom-JVP wrapper can pass it
+    # through with a zero tangent (integer outputs need float0 tangents)
+    init = (x0, g0, Mg0, -Mg0, jnp.zeros((), dt),
             jnp.zeros((), jnp.bool_))
     if tolerance == 0.0:
         # pinned mode (the FD determinism protocol,
@@ -161,4 +166,4 @@ def _solve_cg(M, Mfac, qacc_smooth, J, D, aref, warmstart,
             0, iterations, lambda _, c: cg_body(c), init)
     else:
         x, g, _, _, niter, _ = jax.lax.while_loop(cg_cond, cg_body, init)
-    return x
+    return x, niter

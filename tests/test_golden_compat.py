@@ -85,3 +85,79 @@ def test_gains_match_reference(golden, ours):
                                rtol=1e-3, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sol.k), golden["k"],
                                rtol=1e-3, atol=1e-6)
+
+
+MPC_FRAMES = 50
+
+
+def test_closed_loop_mpc_matches_reference(ours):
+    """BASELINE config 2: the receding-horizon loop itself, golden-matched.
+
+    The reference's actual product is InvertedPendulum::forward() driven from
+    the render loop (/root/reference/src/inverted_pendulum/
+    inverted_pendulum.cpp:19-30, cmd/basic.cpp:158-179): re-solve (10
+    iterations, warm-started by the long-lived ILQR object), apply the first
+    optimized control, step the real environment.  We compare per-frame env
+    qpos and applied ctrl over 50 frames against the oracle running the same
+    loop on the MuJoCo C core."""
+    golden = golden_ref.run_pendulum_golden(ASSET, iterations=10,
+                                            mpc_frames=MPC_FRAMES)
+    env, s0, sol, _ = ours   # `ours` already ran the initial 10-iter solve
+
+    def frame(carry, _):
+        s, so = carry
+        s2, so2, (u0, _, _) = mpc.mpc_step(env, s, so)
+        return (s2, so2), (s.qpos, u0)
+
+    (_, _), (qpos, ctrl) = jax.jit(lambda s, so: jax.lax.scan(
+        frame, (s, so), None, length=MPC_FRAMES))(s0, sol)
+
+    np.testing.assert_allclose(np.asarray(qpos), golden["mpc_qpos"],
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ctrl), golden["mpc_ctrl"],
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_long_horizon_T100_matches_reference():
+    """BASELINE config 1: single solve at horizon T=100 (the demo config is
+    N=20; nothing else exercises long horizons)."""
+    import dataclasses
+    golden = golden_ref.run_pendulum_golden(ASSET, iterations=10, N=100)
+
+    env = envs.pendulum(mode="compat", engine="fd")
+    env = dataclasses.replace(
+        env, ilqr=dataclasses.replace(
+            env.ilqr, horizon=100,
+            lin=LinearizeConfig(engine="fd", compat_transpose_A=True)))
+    s0, sol0 = mpc.init(env)
+    sol, trace = jax.jit(lambda s, so: ilqr.solve(
+        env.model, env.cost_fn, s, so, env.ilqr))(s0, sol0)
+    # The reference algorithm (fixed mu=1000, full-magnitude k, no
+    # linesearch) DIVERGES at T=100 — cost climbs to ~6e7 by iteration 10 on
+    # both sides.  That divergence is itself the parity statement: we match
+    # the stable early iterations tightly and the chaotic diverged tail to
+    # the limit FD-noise amplification allows (~2e-3 observed).
+    np.testing.assert_allclose(np.asarray(trace[:5]), golden["trace"][:5],
+                               rtol=1e-4)   # FD noise x ~5x longer horizon
+    np.testing.assert_allclose(np.asarray(trace), golden["trace"], rtol=5e-3)
+    assert trace[-1] > 1e6   # both sides agree the compat mode diverges here
+
+
+def test_long_horizon_T100_tassa_converges():
+    """Where the reference recursion diverges (see above), the tassa mode
+    with the exact-discretization engine (adaptive LM + parallel linesearch +
+    AD of the full RK4 step — what the reference README *claims* to have,
+    README.md:12-13, plus the integrator-consistent Jacobians it lacks,
+    SURVEY.md §7.0.9) solves T=100 stably to a local optimum."""
+    import dataclasses
+    env = envs.pendulum(mode="tassa", engine="exact")
+    env = dataclasses.replace(
+        env, ilqr=dataclasses.replace(env.ilqr, horizon=100, iterations=15))
+    s0, sol0 = mpc.init(env)
+    sol, trace = jax.jit(lambda s, so: ilqr.solve(
+        env.model, env.cost_fn, s, so, env.ilqr))(s0, sol0)
+    trace = np.asarray(trace)
+    assert np.all(np.isfinite(trace))
+    assert np.all(np.diff(trace) <= 1e-9)      # monotone non-increasing
+    assert trace[-1] < 0.92 * trace[0]         # real descent, no mu blow-up
+    assert float(sol.mu) < 1.0                 # converged, not LM-stalled

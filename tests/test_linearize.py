@@ -99,6 +99,106 @@ def test_compat_transpose_flag():
     np.testing.assert_allclose(np.asarray(a.B), np.asarray(b.B), rtol=1e-12)
 
 
+def test_chunk_knots_matches_unchunked():
+    """chunk_knots (the HBM-limiting path behind the 4096-instance runs) is
+    numerically identical to the all-at-once pass, including a padded tail
+    (T % chunk != 0)."""
+    env, s = _pendulum_state()
+    T = 7
+    traj = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (T,) + a.shape), s)
+    # make knots distinct so a reshape/pad mixup cannot cancel out
+    traj = traj.replace(
+        qpos=traj.qpos + 0.01 * jnp.arange(T)[:, None],
+        qvel=traj.qvel + 0.02 * jnp.arange(T)[:, None])
+    full = linearize_traj(env.model, traj, env.cost_fn,
+                          LinearizeConfig(engine="fd"))
+    for c in (3, 2, 7, 10):   # padded tail, exact fit, chunk > T
+        ch = linearize_traj(env.model, traj, env.cost_fn,
+                            LinearizeConfig(engine="fd", chunk_knots=c))
+        for name in LinOutFields:
+            # chunked/unchunked are different XLA executables (lax.map of a
+            # small vmap vs one big vmap) => FD noise differs at the
+            # (qacc rounding)/2eps ~ 1e-10 level; a pad/reshape bug would be
+            # O(1)
+            np.testing.assert_allclose(
+                np.asarray(getattr(ch, name)),
+                np.asarray(getattr(full, name)), rtol=1e-7, atol=1e-9,
+                err_msg=f"chunk_knots={c} field={name}")
+
+
+LinOutFields = ("A", "B", "gx", "gu", "cost")
+
+
+def test_stage_split_matches_monolithic():
+    """The stage-split FD path (mj_forwardSkip economy) must agree with the
+    monolithic full-pipeline path on a contact-rich state — FD noise from
+    different XLA executables bounds agreement at ~1e-9, a stage-reuse bug
+    would be O(eps^-1) larger."""
+    env = envs.hopper()
+    m = env.model
+    s = make_state(m)
+    step = jax.jit(lambda st: fwd.step(m, st))
+    for _ in range(300):
+        s = step(s)
+    split = linearize_fd(m, s, env.cost_fn,
+                         LinearizeConfig(engine="fd", stage_split=True))
+    mono = linearize_fd(m, s, env.cost_fn,
+                        LinearizeConfig(engine="fd", stage_split=False))
+    np.testing.assert_allclose(np.asarray(split.A), np.asarray(mono.A),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(split.B), np.asarray(mono.B),
+                               rtol=1e-6, atol=1e-8)
+
+
+_BALL_XML = """
+<mujoco model="ball_pendulum">
+  <option timestep="0.01" integrator="Euler"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="swivel" type="ball" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.04" mass="1"/>
+      <body pos="0 0 -0.4">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.02"/>
+        <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="0.5"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="elbow" gear="1"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_quaternion_aware_perturbation_ball_joint():
+    """Cheap default-run nq != nv check: a ball-joint pendulum (nq=5, nv=4)
+    exercises the tangent-space qpos perturbation (the reference's
+    mju_quatIntegrate path, src/mjderivative.cpp:148-171) with FD-vs-AD
+    agreement.  The full humanoid variant below stays behind -m slow."""
+    m = mjcf.load_model(xml_string=_BALL_XML)
+    assert m.nq == 5 and m.nv == 4
+
+    def cost(qpos, qvel, ctrl):
+        return (jnp.sum(qpos[:3] ** 2) + 0.1 * jnp.sum(qvel ** 2)
+                + 0.01 * jnp.sum(ctrl ** 2))
+
+    s = make_state(m).replace(
+        qvel=jnp.asarray([0.3, -0.2, 0.1, 0.4]), ctrl=jnp.asarray([0.2]))
+    # tilt the quaternion off identity so the tangent frame is generic
+    q = jnp.asarray([0.9689124, 0.199, 0.099, 0.0497])
+    s = s.replace(qpos=s.qpos.at[:4].set(q / jnp.linalg.norm(q)))
+
+    fd = linearize_fd(m, s, cost)
+    ad = linearize_ad(m, s, cost)
+    assert fd.A.shape == (2 * m.nv, 2 * m.nv)
+    assert np.all(np.isfinite(np.asarray(fd.A)))
+    np.testing.assert_allclose(np.asarray(fd.A), np.asarray(ad.A),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fd.B), np.asarray(ad.B),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_quaternion_aware_perturbation_humanoid():
     """FD linearization of the humanoid (nq=28 != nv=27) stays finite and
