@@ -25,7 +25,7 @@ def main():
     ap.add_argument("env", choices=["pendulum", "hopper", "humanoid"])
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--mode", choices=["compat", "tassa"], default=None)
-    ap.add_argument("--engine", choices=["fd", "ad"], default=None)
+    ap.add_argument("--engine", choices=["fd", "ad", "exact"], default=None)
     ap.add_argument("--solve-only", action="store_true",
                     help="run one iLQR solve and print the cost trace")
     ap.add_argument("--batch", type=int, default=1)

@@ -56,4 +56,41 @@ def test_global_mean_collective():
     mesh = pbatch.make_mesh()
     x = jnp.arange(8.0)
     out = global_mean(x, mesh)
+    assert out.shape == ()
     np.testing.assert_allclose(np.asarray(out), 3.5)
+
+
+def test_host_slab_mpc_matches_single_batch():
+    """CPU-sized mirror of the BENCH_NOTES 4096-instance recipe (8 slabs x
+    512): when a batch exceeds HBM, it is processed as host-side slabs
+    through the SAME jitted batched mpc_step.  Slabbed results must equal the
+    single-batch run slab-for-slab (identical executable, identical inputs)."""
+    env = envs.pendulum()
+    B, nslab = 16, 2
+    sb, sols = pbatch.init_batched(env, B, qpos_noise=0.02)
+    stepf = pbatch.make_batched_mpc_step(env)
+
+    # single batch, 2 frames
+    s_all, sol_all = sb, sols
+    for _ in range(2):
+        s_all, sol_all, costs_all = stepf(s_all, sol_all)
+
+    # two host-side slabs through the same jitted step
+    tm = jax.tree_util.tree_map
+    outs = []
+    for k in range(nslab):
+        sl = slice(k * B // nslab, (k + 1) * B // nslab)
+        s_k = tm(lambda a: a[sl], sb)
+        sol_k = tm(lambda a: a[sl], sols)
+        for _ in range(2):
+            s_k, sol_k, costs_k = stepf(s_k, sol_k)
+        outs.append((s_k, costs_k))
+
+    qpos_slab = np.concatenate([np.asarray(o[0].qpos) for o in outs])
+    costs_slab = np.concatenate([np.asarray(o[1]) for o in outs])
+    # slab size differs from full-batch size => different executables =>
+    # FD-noise-level differences only
+    np.testing.assert_allclose(qpos_slab, np.asarray(s_all.qpos),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(costs_slab, np.asarray(costs_all),
+                               rtol=1e-6, atol=1e-9)
