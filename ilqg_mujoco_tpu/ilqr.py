@@ -64,6 +64,11 @@ class ILQRConfig:
     mu_factor: float = 1.6
     alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.05, 0.01)
     reg_init: float = 1e-6
+    # backward-pass executor (tassa mode): 'scan' = sequential reverse
+    # lax.scan (reference-shaped); 'assoc' = associative-scan parallel
+    # Riccati (Särkkä & García-Fernández-style conditional value functions):
+    # O(log N) depth on TPU instead of O(N) — pays off at long horizons
+    backward: str = "scan"
 
 
 class ILQRState(NamedTuple):
@@ -262,6 +267,112 @@ def backward_pass_tassa(model: Model, traj: State, lin: LinOut,
 
 
 # ---------------------------------------------------------------------------
+# associative-scan (parallel) Riccati backward pass
+# ---------------------------------------------------------------------------
+
+def _lqr_combine(e2, e1):
+    """Associative combination of conditional-value-function elements.
+
+    Element semantics (Särkkä & García-Fernández, temporal parallelization
+    of LQT): E = (A, b, C, eta, J) represents the optimal cost of steering
+    the LINEARIZED system from start state x to end state z,
+        f(x, z) = 0.5 x^T J x - eta^T x
+                  + max_lam [lam^T (z - A x - b) - 0.5 lam^T C lam],
+    and f12(x, z) = min_y f1(x, y) + f2(y, z) has the same form with the
+    closed-form parameters below (only (I + C1 J2) is inverted — always
+    nonsingular for PSD C, J).  Combination is associative => the suffix
+    value functions of the whole horizon come from one
+    jax.lax.associative_scan in O(log N) depth.
+
+    Argument order: lax.associative_scan(fn, elems, reverse=True) calls
+    fn(later, earlier) elementwise-batched; we combine earlier∘later."""
+    A1, b1, C1, eta1, J1 = e1
+    A2, b2, C2, eta2, J2 = e2
+
+    def one(A1, b1, C1, eta1, J1, A2, b2, C2, eta2, J2):
+        n = A1.shape[0]
+        eye = jnp.eye(n, dtype=A1.dtype)
+        # (I + C1 J2)^-1 via LU: PSD product is nonsymmetric
+        M = eye + C1 @ J2
+        Minv_A1 = jnp.linalg.solve(M, A1)
+        Minv_bCeta = jnp.linalg.solve(M, b1 + C1 @ eta2)
+        Nt = eye + J2 @ C1
+        Ntinv_eta = jnp.linalg.solve(Nt, eta2 - J2 @ b1)
+        Ntinv_JA = jnp.linalg.solve(Nt, J2 @ A1)
+        return (A2 @ Minv_A1,
+                A2 @ Minv_bCeta + b2,
+                A2 @ jnp.linalg.solve(M, C1) @ A2.T + C2,
+                A1.T @ Ntinv_eta + eta1,
+                A1.T @ Ntinv_JA + J1)
+
+    f = one
+    for _ in range(A1.ndim - 2):
+        f = jax.vmap(f)
+    return f(A1, b1, C1, eta1, J1, A2, b2, C2, eta2, J2)
+
+
+def backward_pass_assoc(model: Model, traj: State, lin: LinOut,
+                        cost_fn: CostFn, mu, cfg: ILQRConfig):
+    """Parallel (associative-scan) tassa backward pass.
+
+    Equivalent to :func:`backward_pass_tassa` with the LM shift applied to
+    every Quu (the sequential pass regularizes only the gain solves, so the
+    two coincide exactly as mu -> 0 and agree to O(mu) otherwise).  Same
+    return contract: (K, k, dV1, dV2, ok)."""
+    N = cfg.horizon
+    nv2, nu = 2 * model.nv, model.nu
+    dt = lin.A.dtype
+    lx, lu, lxx, luu, lux = _cost_quadratics(cost_fn, model, traj)
+
+    A, B = lin.A[:N], lin.B[:N]
+    P, p = lxx[:N], lx[:N]
+    R = luu[:N] + mu * jnp.eye(nu, dtype=dt)[None]
+    r, Mx = lu[:N], lux[:N]
+
+    # stage elements: eliminate u from (cost, dynamics) — see _lqr_combine
+    Rinv_Bt = jnp.linalg.solve(R, jnp.swapaxes(B, -1, -2))    # (N, nu, 2nv)
+    Rinv_M = jnp.linalg.solve(R, Mx)                          # (N, nu, 2nv)
+    Rinv_r = jnp.linalg.solve(R, r[..., None])[..., 0]        # (N, nu)
+    eA = A - B @ Rinv_M
+    eb = -(B @ Rinv_r[..., None])[..., 0]
+    eC = B @ Rinv_Bt
+    eJ = P - jnp.swapaxes(Mx, -1, -2) @ Rinv_M
+    eeta = -(p - (jnp.swapaxes(Mx, -1, -2) @ Rinv_r[..., None])[..., 0])
+
+    # terminal element encodes the terminal quadratic
+    zA = jnp.zeros((1, nv2, nv2), dt)
+    elems = (
+        jnp.concatenate([eA, zA]),
+        jnp.concatenate([eb, jnp.zeros((1, nv2), dt)]),
+        jnp.concatenate([eC, zA]),
+        jnp.concatenate([eeta, -lx[N][None]]),
+        jnp.concatenate([eJ, lxx[N][None]]),
+    )
+    suffix = jax.lax.associative_scan(_lqr_combine, elems, reverse=True)
+    # V_{t}(x) = 0.5 x^T J_t x - eta_t^T x; gains at t need (J, eta)_{t+1}
+    Jn = suffix[4][1:]          # (N, 2nv, 2nv)
+    etan = suffix[3][1:]        # (N, 2nv)
+
+    def gains(A_t, B_t, lu_t, luu_t, lux_t, J1, eta1):
+        Qu = lu_t + B_t.T @ (-eta1)
+        Quu = luu_t + B_t.T @ J1 @ B_t
+        Qux = lux_t + B_t.T @ J1 @ A_t
+        Quu_reg = Quu + mu * jnp.eye(nu, dtype=dt)
+        L = linalg.cholesky(Quu_reg)
+        pd = jnp.all(jnp.isfinite(L))
+        Ls = jnp.where(pd, L, jnp.eye(nu, dtype=dt))
+        K = -linalg.cho_solve(Ls, Qux)
+        k = -linalg.cho_solve(Ls, Qu)
+        return K, k, k @ Qu, 0.5 * k @ (Quu @ k), pd
+
+    K, k, dv1, dv2, pd = jax.vmap(gains)(A, B, lu[:N], luu[:N], lux[:N],
+                                         Jn, etan)
+    K = jnp.concatenate([K, jnp.zeros((1, nu, nv2), dt)])
+    k = jnp.concatenate([k, jnp.zeros((1, nu), dt)])
+    return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.all(pd)
+
+
+# ---------------------------------------------------------------------------
 # solve loops
 # ---------------------------------------------------------------------------
 
@@ -281,8 +392,9 @@ def iterate_tassa(model: Model, cost_fn: CostFn, x0: State,
     *parallel* backtracking linesearch — every alpha rolled out concurrently
     by vmap (TPU-friendly: trades FLOPs for zero serial linesearch latency)."""
     lin = linearize_traj(model, sol.traj, cost_fn, cfg.lin)
-    K, k, dV1, dV2, ok = backward_pass_tassa(
-        model, sol.traj, lin, cost_fn, sol.mu, cfg)
+    bwd = (backward_pass_assoc if cfg.backward == "assoc"
+           else backward_pass_tassa)
+    K, k, dV1, dV2, ok = bwd(model, sol.traj, lin, cost_fn, sol.mu, cfg)
     cost0 = _traj_cost(cost_fn, sol.traj)
 
     cand = ILQRState(traj=sol.traj, K=K, k=k, mu=sol.mu)

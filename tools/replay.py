@@ -112,18 +112,20 @@ def _render_matplotlib(qpos, env, every, width, height):
 def _write(frames, outdir, every):
     outdir = pathlib.Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    try:
-        import imageio
-        imageio.mimsave(outdir / "replay.mp4", frames,
-                        fps=max(1, 60 // every))
-        print("wrote", outdir / "replay.mp4")
-        return outdir / "replay.mp4"
-    except Exception:
-        from PIL import Image
-        for i, px in enumerate(frames):
-            Image.fromarray(px).save(outdir / f"frame_{i:05d}.png")
-        print(f"wrote {len(frames)} PNGs to {outdir}/")
-        return outdir / "frame_00000.png"
+    fps = max(1, 60 // every)
+    for name in ("replay.mp4", "replay.gif"):   # mp4 needs ffmpeg; gif never
+        try:
+            import imageio
+            imageio.mimsave(outdir / name, frames, fps=fps)
+            print("wrote", outdir / name)
+            return outdir / name
+        except Exception:
+            continue
+    from PIL import Image
+    for i, px in enumerate(frames):
+        Image.fromarray(px).save(outdir / f"frame_{i:05d}.png")
+    print(f"wrote {len(frames)} PNGs to {outdir}/")
+    return outdir / "frame_00000.png"
 
 
 def replay(npz_path, env, out="frames", every=1, width=480, height=360):
