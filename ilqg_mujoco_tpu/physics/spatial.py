@@ -95,11 +95,18 @@ def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
     Implemented as a *smooth* quaternion exponential (regularized theta, no
     normalize-the-axis branch) so forward-mode autodiff through it is finite
     at omega = 0 — required by the AD linearizer's tangent-space perturbation
-    of quaternion states (ops/linearize.py).  The regularizer (1e-30) changes
-    results by < 1e-24 relative, far below f64 noise.
+    of quaternion states (ops/linearize.py).
+
+    The regularizer is dtype-aware: SECOND derivatives (cost Hessians in the
+    tassa backward pass) carry 1/theta^3 chain terms, so theta_min^3 must
+    stay inside the dtype's range — with the f64 value (theta_min=1e-15) the
+    f32 term 1/1e-45 overflows to inf and every humanoid backward pass went
+    NaN on TPU.  theta_min=1e-6 in f32 biases s away from 0.5 by O(1e-12),
+    below f32 resolution.
     """
     v = omega * dt
-    theta = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-30)
+    eps = 1e-30 if v.dtype == jnp.float64 else 1e-12
+    theta = jnp.sqrt(jnp.sum(v * v, axis=-1) + eps)
     half = 0.5 * theta
     s = jnp.sin(half) / theta          # -> 0.5 smoothly as theta -> 0
     dq = jnp.concatenate(
@@ -113,8 +120,11 @@ def quat_sub(qa: jnp.ndarray, qb: jnp.ndarray) -> jnp.ndarray:
     Tangent-space difference used for quaternion state differencing in the
     solver (humanoid nq != nv support)."""
     dq = quat_mul(quat_conj(qb), qa)
-    # log map: dq = (cos(a/2), sin(a/2) * axis)
-    sin_half = jnp.linalg.norm(dq[..., 1:], axis=-1)
+    # log map: dq = (cos(a/2), sin(a/2) * axis).  Regularized norm: d|x| at
+    # x=0 is NaN and would poison any derivative through a zero rotation
+    # (same dtype-aware bound as quat_integrate).
+    eps = 1e-30 if dq.dtype == jnp.float64 else 1e-12
+    sin_half = jnp.sqrt(jnp.sum(dq[..., 1:] ** 2, axis=-1) + eps)
     cos_half = dq[..., 0]
     angle = 2.0 * jnp.arctan2(sin_half, cos_half)
     # map angle to [-pi, pi] branch (arctan2 of nonneg sin gives [0, 2pi)?
