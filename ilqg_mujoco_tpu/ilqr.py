@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops import linalg
+from .ops.boxqp import boxqp
 from .ops.linearize import (CostFn, LinearizeConfig, LinOut, linearize_traj)
 from .physics import forward as fwd
 from .physics import spatial
@@ -69,6 +70,21 @@ class ILQRConfig:
     # Riccati (Särkkä & García-Fernández-style conditional value functions):
     # O(log N) depth on TPU instead of O(N) — pays off at long horizons
     backward: str = "scan"
+    # control-limited iLQG (Tassa/Mansard/Todorov ICRA 2014): respect the
+    # actuator ctrlrange the reference assets declare but its solver ignores
+    # (res/hopper.xml:6; MuJoCo clamps in the actuation stage regardless —
+    # physics/smooth.py).  tassa+scan mode only.
+    control_limits: bool = False
+    boxqp_iters: int = 8
+    # scaled value recursion (tassa+scan): carry V/s with log s tracked
+    # separately, renormalizing every step.  The recursion is exact in
+    # infinite precision (gains depend only on value/cost RATIOS at each
+    # knot) and eliminates the f32 Vxx overflow that otherwise caps stiff-
+    # contact horizons at ~16 knots (|A|~15 through solref=.02 contacts =>
+    # ||Vxx|| ~ 15^(2k) > f32 max around k=16; BENCH_NOTES.md round 2).
+    # Cost-curvature terms underflow gracefully (to 0) instead of
+    # overflowing (to inf) once the value function dominates.
+    value_scaling: bool = False
 
 
 class ILQRState(NamedTuple):
@@ -126,15 +142,37 @@ def init_solver(model: Model, x0: State, cfg: ILQRConfig) -> ILQRState:
     )
 
 
+def ctrl_bounds(model: Model, dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-actuator (lo, hi) ctrl bounds; unlimited actuators get a huge
+    finite box (keeps boxqp arithmetic NaN-free)."""
+    big = jnp.asarray(1e9, dt)
+    limited = jnp.asarray(model.actuator_ctrllimited)
+    lo = jnp.where(limited, jnp.asarray(model.actuator_ctrlrange[:, 0], dt),
+                   -big)
+    hi = jnp.where(limited, jnp.asarray(model.actuator_ctrlrange[:, 1], dt),
+                   big)
+    return lo, hi
+
+
 def forward_pass(model: Model, x0: State, sol: ILQRState,
                  cfg: ILQRConfig, alpha=1.0) -> State:
     """Roll out u = K (x - x*) + alpha*k + u* from x0 through the full
     nonlinear dynamics (inc/ilqr.h:116-130; alpha=1 is the reference's
-    full-magnitude application)."""
+    full-magnitude application).
+
+    In control-limited mode the policy output is clipped to the actuator
+    box, so the *stored* (and costed) controls are the ones the plant
+    actually applies — without the flag the clamp happens invisibly inside
+    the actuation stage (physics/smooth.py) like the reference."""
+    if cfg.control_limits:
+        lo, hi = ctrl_bounds(model, sol.k.dtype)
+
     def body(s, inp):
         K_t, k_t, ref_knot = inp
         dx = state_diff(model, s.qpos, s.qvel, ref_knot.qpos, ref_knot.qvel)
         u = K_t @ dx + alpha * k_t + ref_knot.ctrl
+        if cfg.control_limits:
+            u = jnp.clip(u, lo, hi)
         knot = s.replace(ctrl=u)
         return fwd.step(model, knot), knot
     _, traj = jax.lax.scan(body, x0, (sol.K, sol.k, sol.traj))
@@ -234,33 +272,67 @@ def backward_pass_tassa(model: Model, traj: State, lin: LinOut,
     lx, lu, lxx, luu, lux = _cost_quadratics(cost_fn, model, traj)
 
     Vx0, Vxx0 = lx[N], lxx[N]
+    if cfg.control_limits:
+        ulo, uhi = ctrl_bounds(model, dt)
 
     def body(carry, inp):
-        Vx, Vxx, dV1, dV2, ok = carry
-        A, B, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
-        Qx = lx_t + A.T @ Vx
-        Qu = lu_t + B.T @ Vx
-        Qxx = lxx_t + A.T @ Vxx @ A
-        Quu = luu_t + B.T @ Vxx @ B
-        Qux = lux_t + B.T @ Vxx @ A
-        Quu_reg = Quu + mu * jnp.eye(nu, dtype=dt)
-        # PD check via (pure-JAX) Cholesky; reuse the factor for the solves
-        L = linalg.cholesky(Quu_reg)
-        pd = jnp.all(jnp.isfinite(L))
-        Ls = jnp.where(pd, L, jnp.eye(nu, dtype=dt))
-        K = -linalg.cho_solve(Ls, Qux)
-        k = -linalg.cho_solve(Ls, Qu)
+        # Vx/Vxx are the value function divided by s = exp(log_s); log_s is
+        # identically 0 unless cfg.value_scaling.  Gains are ratios, so
+        # computing them from (l*/s + transport of V/s) with mu/s is exact.
+        Vx, Vxx, log_s, dV1, dV2, ok = carry
+        A, B, lx_t, lu_t, lxx_t, luu_t, lux_t, u_t = inp
+        inv_s = jnp.exp(-log_s)
+        Qx = lx_t * inv_s + A.T @ Vx
+        Qu = lu_t * inv_s + B.T @ Vx
+        Qxx = lxx_t * inv_s + A.T @ Vxx @ A
+        Quu = luu_t * inv_s + B.T @ Vxx @ B
+        Qux = lux_t * inv_s + B.T @ Vxx @ A
+        mu_eff = mu * inv_s
+        if cfg.value_scaling:
+            # once s dwarfs mu the true LM shift underflows in normalized
+            # space; a machine-epsilon-relative floor (||Vxx_hat|| ~ 1 by
+            # construction) keeps Quu_reg factorizable without perturbing
+            # any ratio representable in the working precision
+            mu_eff = mu_eff + jnp.asarray(10.0, dt) * jnp.finfo(dt).eps
+        Quu_reg = Quu + mu_eff * jnp.eye(nu, dtype=dt)
+        if cfg.control_limits:
+            # control-limited step (Tassa/Mansard/Todorov ICRA 2014): k from
+            # the boxQP over du in [lo-u*, hi-u*]; feedback only on the free
+            # subspace (clamped controls get zero K rows via the masked
+            # factor — ops/boxqp.py)
+            qp = boxqp(Quu_reg, Qu, ulo - u_t, uhi - u_t,
+                       jnp.zeros_like(u_t), iters=cfg.boxqp_iters)
+            pd = qp.pd
+            k = qp.x
+            K = -linalg.cho_solve(
+                qp.Lfree, jnp.where(qp.free[:, None], Qux, 0.0))
+        else:
+            # PD check via (pure-JAX) Cholesky; reuse factor for the solves
+            L = linalg.cholesky(Quu_reg)
+            pd = jnp.all(jnp.isfinite(L))
+            Ls = jnp.where(pd, L, jnp.eye(nu, dtype=dt))
+            K = -linalg.cho_solve(Ls, Qux)
+            k = -linalg.cho_solve(Ls, Qu)
         Vx_n = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
         Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
         Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
-        dV1 = dV1 + k @ Qu
-        dV2 = dV2 + 0.5 * k @ (Quu @ k)
-        return (Vx_n, Vxx_n, dV1, dV2, ok & pd), (K, k)
+        # dV in TRUE units (s * normalized step terms); with scaling active
+        # these diagnostics can saturate to inf in f32 — the gains cannot
+        dV1 = dV1 + (k @ Qu) * jnp.exp(log_s)
+        dV2 = dV2 + 0.5 * (k @ (Quu @ k)) * jnp.exp(log_s)
+        if cfg.value_scaling:
+            c = jnp.maximum(jnp.max(jnp.abs(Vxx_n)), 1.0)
+            Vx_n = Vx_n / c
+            Vxx_n = Vxx_n / c
+            log_s = log_s + jnp.log(c)
+        return (Vx_n, Vxx_n, log_s, dV1, dV2, ok & pd), (K, k)
 
-    xs = (lin.A[:N], lin.B[:N], lx[:N], lu[:N], lxx[:N], luu[:N], lux[:N])
+    xs = (lin.A[:N], lin.B[:N], lx[:N], lu[:N], lxx[:N], luu[:N], lux[:N],
+          traj.ctrl[:N])
     init = (Vx0, Vxx0, jnp.zeros((), dt), jnp.zeros((), dt),
-            jnp.asarray(True))
-    (_, _, dV1, dV2, ok), (K, k) = jax.lax.scan(body, init, xs, reverse=True)
+            jnp.zeros((), dt), jnp.asarray(True))
+    (_, _, _, dV1, dV2, ok), (K, k) = jax.lax.scan(body, init, xs,
+                                                   reverse=True)
     K = jnp.concatenate([K, jnp.zeros((1, nu, nv2), dt)])
     k = jnp.concatenate([k, jnp.zeros((1, nu), dt)])
     return K, k, dV1, dV2, ok
@@ -392,6 +464,11 @@ def iterate_tassa(model: Model, cost_fn: CostFn, x0: State,
     *parallel* backtracking linesearch — every alpha rolled out concurrently
     by vmap (TPU-friendly: trades FLOPs for zero serial linesearch latency)."""
     lin = linearize_traj(model, sol.traj, cost_fn, cfg.lin)
+    if cfg.control_limits and cfg.backward == "assoc":
+        raise ValueError(
+            "control_limits requires backward='scan': the boxQP active set "
+            "couples knots sequentially, which the associative-scan value "
+            "recursion cannot express")
     bwd = (backward_pass_assoc if cfg.backward == "assoc"
            else backward_pass_tassa)
     K, k, dV1, dV2, ok = bwd(model, sol.traj, lin, cost_fn, sol.mu, cfg)
