@@ -100,7 +100,13 @@ def humanoid(mode: str = "tassa", engine: str = "ad") -> Env:
 
     return Env(
         name="humanoid", model=model, cost_fn=cost,
+        # value_scaling on by default: through the humanoid's stiff
+        # (solref=.02) contacts ||Vxx|| overflows f32 around 16 knots,
+        # which capped TPU horizons at N<=12 in round 2 (BENCH_NOTES.md);
+        # the scaled recursion is exact in the representable range and
+        # bounded beyond it (tests/test_value_scaling.py)
         ilqr=ILQRConfig(horizon=30, iterations=5, mode=mode,
+                        value_scaling=True,
                         lin=LinearizeConfig(engine=engine)),
         warm_steps=0)
 

@@ -33,6 +33,16 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (e.g. cpu)")
     ap.add_argument("--x64", action="store_true", help="enable float64")
+    ap.add_argument("--horizon", type=int, default=None,
+                    help="override solver horizon N")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="override iLQR iterations per solve")
+    ap.add_argument("--control-limits", action="store_true",
+                    help="control-limited iLQG (boxQP backward pass; "
+                         "respects actuator ctrlrange)")
+    ap.add_argument("--value-scaling", action="store_true",
+                    help="overflow-free scaled value recursion (long "
+                         "stiff-contact horizons in f32)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +62,19 @@ def main():
     if args.engine:
         kw["engine"] = args.engine
     env = envs.make(args.env, **kw)
+    import dataclasses
+    over = {}
+    if args.horizon:
+        over["horizon"] = args.horizon
+    if args.iters:
+        over["iterations"] = args.iters
+    if args.control_limits:
+        over["control_limits"] = True
+    if args.value_scaling:
+        over["value_scaling"] = True
+    if over:
+        env = dataclasses.replace(env,
+                                  ilqr=dataclasses.replace(env.ilqr, **over))
     print(f"env={env.name} mode={env.ilqr.mode} engine={env.ilqr.lin.engine} "
           f"N={env.ilqr.horizon} iters={env.ilqr.iterations} "
           f"devices={jax.devices()}")
