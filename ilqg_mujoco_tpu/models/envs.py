@@ -105,8 +105,12 @@ def humanoid(mode: str = "tassa", engine: str = "ad") -> Env:
         # which capped TPU horizons at N<=12 in round 2 (BENCH_NOTES.md);
         # the scaled recursion is exact in the representable range and
         # bounded beyond it (tests/test_value_scaling.py)
+        # reg_init=1e-2: at N=30 the ill-conditioned value function makes
+        # the mu=1e-6 default reject every linesearch candidate (0% descent
+        # measured on TPU); mu0 in [1e-2, 1e4] all descend for >=95% of a
+        # B=64 batch, 1e-2 keeps short-horizon steps least damped
         ilqr=ILQRConfig(horizon=30, iterations=5, mode=mode,
-                        value_scaling=True,
+                        value_scaling=True, reg_init=1e-2,
                         lin=LinearizeConfig(engine=engine)),
         warm_steps=0)
 

