@@ -10,9 +10,14 @@ the MuJoCo C core (tools/measure_baseline.py -> baselines.json); the batch
 axis is the TPU scaling story the reference has no counterpart for
 (SURVEY.md §2a).
 
-Env knobs: ILQG_BENCH_BATCH (default 8192), ILQG_BENCH_REPS (default 20),
-ILQG_BENCH_TRIALS (default 3), ILQG_BENCH_ENV (pendulum|hopper|humanoid),
-ILQG_BENCH_MODE (tassa|compat), ILQG_BENCH_ENGINE (ad|fd|exact).  The
+Env knobs: ILQG_BENCH_BATCH (default 65536), ILQG_BENCH_REPS (default 20),
+ILQG_BENCH_TRIALS (default 5), ILQG_BENCH_ENV (pendulum|hopper|humanoid),
+ILQG_BENCH_MODE (tassa|compat), ILQG_BENCH_ENGINE (ad|fd|exact),
+ILQG_BENCH_CHUNK (chunk_knots for the linearizer: bounds the whole-horizon
+AD-tangent working set, which pads up to 57x on TPU tiles — unset it
+auto-scales: None below B=16384, 2 at/above.  The round-4 B-sweep
+(BENCH_NOTES.md) moved the OOM wall from B=16384 to B=131072 and the
+headline from 1.27e9 to 8.9e9 iters/s this way).  The
 compat+fd combination is the apples-to-apples comparison against the
 measured C-core baseline (same algorithm, same FD schedule); the default
 tassa+ad is the production path.  Per-phase breakdowns:
@@ -46,11 +51,15 @@ import jax.numpy as jnp
 
 def main():
     env_name = os.environ.get("ILQG_BENCH_ENV", "pendulum")
-    batch = int(os.environ.get("ILQG_BENCH_BATCH", "8192"))
+    batch = int(os.environ.get("ILQG_BENCH_BATCH", "65536"))
     reps = int(os.environ.get("ILQG_BENCH_REPS", "20"))
-    trials = int(os.environ.get("ILQG_BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("ILQG_BENCH_TRIALS", "5"))
     mode = os.environ.get("ILQG_BENCH_MODE", "tassa")
     engine = os.environ.get("ILQG_BENCH_ENGINE", "ad")
+    chunk = os.environ.get("ILQG_BENCH_CHUNK", "")
+    # auto policy: big batches chunk the linearizer so AD-tangent temps
+    # (tiny trailing dims, up to 57x tile-padding) stay within HBM
+    chunk = int(chunk) if chunk else (2 if batch >= 16384 else None)
 
     from ilqg_mujoco_tpu.models import envs
     from ilqg_mujoco_tpu.parallel import batch as pbatch
@@ -58,6 +67,11 @@ def main():
     # TPU path default: f32, tassa + AD linearizer; compat+fd reproduces the
     # reference algorithm/FD schedule for apples-to-apples baselining
     env = envs.make(env_name, mode=mode, engine=engine)
+    if chunk is not None:
+        import dataclasses
+        env = dataclasses.replace(env, ilqr=dataclasses.replace(
+            env.ilqr, lin=dataclasses.replace(env.ilqr.lin,
+                                              chunk_knots=chunk)))
 
     sb, sols = pbatch.init_batched(env, batch, qpos_noise=0.01)
     solve = pbatch.make_batched_solve(env)
@@ -73,23 +87,31 @@ def main():
 
     # the tunneled TPU occasionally drops a call with a transient
     # UNAVAILABLE device error; retry a few times.  Best-of-`trials` timings
-    # (see module docstring for why min-time is the right estimator here).
-    dt = None
+    # (see module docstring for why min-time is the right estimator here);
+    # ALL trial timings are kept and reported as a spread so run-to-run
+    # tunnel variance is visible instead of hidden (round-3 verdict weak #2).
+    times = []
     for attempt in range(3):
         try:
-            for _ in range(trials):
-                t = timed_run()
-                dt = t if dt is None else min(dt, t)
+            while len(times) < trials:
+                times.append(timed_run())
             break
         except Exception:   # jax.errors.JaxRuntimeError
             if attempt == 2:
-                if dt is None:
+                if not times:
                     raise
                 break
             time.sleep(5.0)
 
     total_iters = batch * env.ilqr.iterations * reps
-    rate = total_iters / dt
+    rates = sorted(total_iters / t for t in times)
+    rate = rates[-1]
+    spread = {
+        "min": round(rates[0], 2),
+        "median": round(rates[len(rates) // 2], 2),
+        "max": round(rates[-1], 2),
+        "trials": len(rates),
+    }
 
     base_path = pathlib.Path(__file__).parent / "baselines.json"
     vs = None
@@ -105,6 +127,7 @@ def main():
         "value": round(rate, 2),
         "unit": "iLQR iterations/s/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "spread": spread,
     }))
 
 

@@ -86,6 +86,29 @@ class ILQRConfig:
     # overflowing (to inf) once the value function dominates.
     value_scaling: bool = False
 
+    def __post_init__(self):
+        if self.mode not in ("compat", "tassa"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.backward not in ("scan", "assoc"):
+            raise ValueError(f"unknown backward {self.backward!r}")
+        if self.control_limits and self.mode != "tassa":
+            raise ValueError(
+                "control_limits requires mode='tassa': the compat backward "
+                "pass is the reference recursion, which is limit-blind — "
+                "clipping only the rollout would silently optimize controls "
+                "the backward pass never sees")
+        if self.control_limits and self.backward != "scan":
+            raise ValueError(
+                "control_limits requires backward='scan': the boxQP active "
+                "set couples knots sequentially, which the associative-scan "
+                "value recursion cannot express")
+        if self.value_scaling and self.backward != "scan":
+            raise ValueError(
+                "value_scaling requires backward='scan': the associative-"
+                "scan elements carry unnormalized value quadratics, so the "
+                "flag would be silently ignored (and the humanoid default "
+                "would silently revert to the overflowing recursion)")
+
 
 class ILQRState(NamedTuple):
     """Persistent solver state (the ILQR object's data, inc/ilqr.h:44-65):
@@ -464,11 +487,6 @@ def iterate_tassa(model: Model, cost_fn: CostFn, x0: State,
     *parallel* backtracking linesearch — every alpha rolled out concurrently
     by vmap (TPU-friendly: trades FLOPs for zero serial linesearch latency)."""
     lin = linearize_traj(model, sol.traj, cost_fn, cfg.lin)
-    if cfg.control_limits and cfg.backward == "assoc":
-        raise ValueError(
-            "control_limits requires backward='scan': the boxQP active set "
-            "couples knots sequentially, which the associative-scan value "
-            "recursion cannot express")
     bwd = (backward_pass_assoc if cfg.backward == "assoc"
            else backward_pass_tassa)
     K, k, dV1, dV2, ok = bwd(model, sol.traj, lin, cost_fn, sol.mu, cfg)

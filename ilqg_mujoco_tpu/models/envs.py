@@ -115,7 +115,36 @@ def humanoid(mode: str = "tassa", engine: str = "ad") -> Env:
         warm_steps=0)
 
 
-REGISTRY = {"pendulum": pendulum, "hopper": hopper, "humanoid": humanoid}
+def tumbler(mode: str = "tassa", engine: str = "ad") -> Env:
+    """Floating-body attitude control (this framework's minimal nq != nv
+    env): a free-joint capsule with a 2-dof internal arm, no gravity, no
+    contacts.  Exercises the quaternion state topology (tangent-space
+    state_diff -> backward pass -> linesearch) end-to-end at a size that
+    compiles on XLA:CPU in seconds — the same composition the humanoid
+    covers behind `-m slow` (and that the reference's contiguous [qpos;qvel]
+    state map cannot express at all, SURVEY.md §1)."""
+    model = _load("tumbler.xml")
+
+    def cost(qpos, qvel, ctrl):
+        # attitude + arm braking.  Weights keep the CONTROLLABLE terms
+        # dominant: with zero external torque the base attitude responds
+        # only slowly (zero-momentum cat-twist), while arm angles/rates
+        # respond directly to the motors — a heavily attitude-weighted cost
+        # would be mostly unreachable over a 0.2 s horizon.
+        return (2.0 * jnp.sum(qpos[4:7] ** 2)       # qx,qy,qz -> 0
+                + 2.0 * jnp.sum(qpos[7:] ** 2)      # arm angles
+                + 0.2 * jnp.sum(qvel[3:] ** 2)      # angular + joint rates
+                + 1e-2 * jnp.sum(ctrl ** 2))
+
+    return Env(
+        name="tumbler", model=model, cost_fn=cost,
+        ilqr=ILQRConfig(horizon=20, iterations=8, mode=mode,
+                        lin=LinearizeConfig(engine=engine)),
+        warm_steps=0)
+
+
+REGISTRY = {"pendulum": pendulum, "hopper": hopper, "humanoid": humanoid,
+            "tumbler": tumbler}
 
 
 def _load(asset: str) -> Model:

@@ -58,16 +58,42 @@ def init(env: Env, x0: State = None):
     return s, sol
 
 
-def run(env: Env, frames: int, x0: State = None) -> MPCOut:
-    """Full MPC rollout as one scan (jit the returned computation)."""
-    s0, sol0 = init(env, x0)
-
+def _scan_frames(env: Env, frames: int, s0: State, sol0: ilqr.ILQRState):
     def body(carry, _):
         s, sol = carry
         s2, sol2, (u0, trace, c) = mpc_step(env, s, sol)
         return (s2, sol2), (s, u0, trace, c)
 
-    (_, _), (states, us, traces, cs) = jax.lax.scan(
-        body, (s0, sol0), None, length=frames)
+    return jax.lax.scan(body, (s0, sol0), None, length=frames)
+
+
+def run(env: Env, frames: int, x0: State = None,
+        segment_frames: int = None) -> MPCOut:
+    """Full MPC rollout.
+
+    ``segment_frames=None`` (default): the whole run is ONE lax.scan — jit
+    the returned computation and there are zero host round-trips.  At very
+    large scale (hundreds of humanoid frames) a single XLA program can
+    exceed what the backend compiles reliably; ``segment_frames=k`` instead
+    compiles ONE k-frame program and drives it from a host loop, carrying
+    (env state, solver state) across segments — identical numerics (the
+    segment boundary is just a host round-trip of the carry), program size
+    bounded by k.  Call un-jitted in that case."""
+    s0, sol0 = init(env, x0)
+
+    if segment_frames is None or segment_frames >= frames:
+        (_, _), (states, us, traces, cs) = _scan_frames(env, frames, s0, sol0)
+        return MPCOut(env_states=states, controls=us, cost_trace=traces,
+                      step_cost=cs)
+
+    seg = segment_frames
+    segf = jax.jit(lambda s, sol: _scan_frames(env, seg, s, sol))
+    carry, outs = (s0, sol0), []
+    for _ in range(-(-frames // seg)):       # ceil; one compiled program
+        carry, out = segf(*carry)
+        outs.append(out)
+    cat = lambda *xs: jax.tree_util.tree_map(
+        lambda *a: jnp.concatenate(a)[:frames], *xs)
+    states, us, traces, cs = (cat(*[o[i] for o in outs]) for i in range(4))
     return MPCOut(env_states=states, controls=us, cost_trace=traces,
                   step_cost=cs)

@@ -65,6 +65,15 @@ class LinearizeConfig:
     niter: int = 30          # pinned solver iterations
     nwarmup: int = 3         # center-point repetitions
     compat_transpose_A: bool = False
+    # reference quirk #2 (SURVEY.md §7.0.1): the FD worker writes the ctrl
+    # Jacobian row-major, deriv[i + j*nu] = dqacc_j/dctrl_i
+    # (src/mjderivative.cpp:107), but the Eigen Map<Matrix<nv,nu>> reading it
+    # back is column-major (inc/differentiator.h:22,59) — a no-op for nu=1
+    # (pendulum, the only shipped env) but an index SCRAMBLE for 1<nu<nv
+    # (hopper, humanoid).  This flag reproduces the scrambled layout
+    # bit-for-bit so compat mode matches the reference binary's literal
+    # behavior on nu>1 models; leave False for the corrected algorithm.
+    compat_scramble_B: bool = False
     # 'fd' (reference-exact) | 'ad' (AD of qacc, Euler-assembled like the
     # reference) | 'exact' (AD of the full discrete step: correct for RK4)
     engine: str = "fd"
@@ -120,15 +129,30 @@ def _center(model: Model, state: State, cfg: LinearizeConfig) -> State:
     return s
 
 
-def _assemble(model: Model, Jq, Jv, Ju, compat_transpose_A: bool):
+def scramble_B(Ju: jnp.ndarray) -> jnp.ndarray:
+    """The reference's 1<nu<nv ctrl-Jacobian layout bug, exactly.
+
+    The flat FD buffer holds flat[i + j*nu] = Ju[j, i]
+    (src/mjderivative.cpp:107); the column-major Map<Matrix<nv,nu>> reads
+    element (a, b) from flat[a + b*nv] (inc/differentiator.h:22,59).  So the
+    matrix the reference's recursion actually consumes is the row-major
+    flattening of the true Jacobian re-read column-major — identity for
+    nu=1, garbage (but deterministic, reproducible garbage) otherwise."""
+    nv, nu = Ju.shape
+    return Ju.reshape(-1).reshape(nu, nv).T
+
+
+def _assemble(model: Model, Jq, Jv, Ju, cfg: LinearizeConfig):
     """Euler discretization (inc/differentiator.h:68-71, 89-92)."""
     h = model.opt.timestep
     nv, nu = model.nv, model.nu
     dt = Jq.dtype
-    if compat_transpose_A:
+    if cfg.compat_transpose_A:
         # reference quirk: column-major Eigen maps over row-major FD writes
         # transpose the qpos/qvel blocks (SURVEY.md §7.0.1)
         Jq, Jv = Jq.T, Jv.T
+    if cfg.compat_scramble_B:
+        Ju = scramble_B(Ju)
     eye = jnp.eye(nv, dtype=dt)
     A = jnp.block([[eye, h * eye],
                    [h * Jq, eye + h * Jv]])
@@ -226,7 +250,7 @@ def linearize_fd(model: Model, state: State, cost_fn: CostFn,
     gx = jnp.concatenate([(cost_qpos - cost0), (cost_qvel - cost0)]) / eps
     gu = (cost_ctrl - cost0) / eps
 
-    A, B = _assemble(model, Jq, Jv, Ju, cfg.compat_transpose_A)
+    A, B = _assemble(model, Jq, Jv, Ju, cfg)
     return LinOut(A=A, B=B, gx=gx, gu=gu, cost=cost0)
 
 
@@ -260,7 +284,7 @@ def linearize_ad(model: Model, state: State, cost_fn: CostFn,
     gu = jax.grad(lambda d: cost_of(z_v, z_v, d))(z_u)
     cost0 = cost_fn(state.qpos, state.qvel, state.ctrl)
 
-    A, B = _assemble(model, Jq, Jv, Ju, cfg.compat_transpose_A)
+    A, B = _assemble(model, Jq, Jv, Ju, cfg)
     return LinOut(A=A, B=B, gx=jnp.concatenate([gq, gv]), gu=gu, cost=cost0)
 
 

@@ -152,9 +152,15 @@ def backward_compat_batched(A, B, gx, gu, diffs, mu, *, interpret=False):
     dt = A.dtype
     pad = (-Bt) % TILE
     if pad:
-        padfn = lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-        A, B, gx, gu, diffs = map(padfn, (A, B, gx, gu, diffs))
+        def padfn(x, fill=0.0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        # gu pads with ONES: zero lanes make invT = 1/(2 B^T V B + 2 r^2)
+        # divide by zero, so padded lanes would carry inf/nan through the
+        # whole recursion — harmless to the sliced-off outputs but it trips
+        # jax_debug_nans and would corrupt any future cross-lane reduction
+        A, B, gx, diffs = map(padfn, (A, B, gx, diffs))
+        gu = padfn(gu, 1.0)
     G = (Bt + pad) // TILE
 
     Ap = _pack(A, G)                               # (N,n,n,G,8,128)

@@ -566,40 +566,9 @@ void geom_mass_inertia(const Geom& g, double& m, V3& I) {
 // C ABI
 // ---------------------------------------------------------------------------
 
-extern "C" {
+#include "ilqg_model.h"
 
-struct IlqgModel {
-  // sizes
-  int32_t nq, nv, nu, nbody, njnt, ngeom, npair;
-  // options
-  double timestep, gravity[3], tolerance, impratio;
-  int32_t integrator, iterations, cone;
-  int32_t override_active;
-  double o_solref[2], o_solimp[5], o_margin;
-  // arrays (malloc'd, freed by ilqg_free_model)
-  int32_t* body_parentid;
-  double *body_pos, *body_quat, *body_ipos, *body_iquat, *body_mass,
-      *body_inertia;
-  int32_t *jnt_type, *jnt_bodyid, *jnt_qposadr, *jnt_dofadr;
-  double *jnt_pos, *jnt_axis, *jnt_range;
-  uint8_t* jnt_limited;
-  double *jnt_stiffness, *jnt_margin, *jnt_solref, *jnt_solimp;
-  double *qpos_spring, *qpos0;
-  int32_t *dof_bodyid, *dof_jntid;
-  double *dof_armature, *dof_damping, *dof_frictionloss;
-  int32_t *geom_type, *geom_bodyid;
-  double *geom_pos, *geom_quat, *geom_size, *geom_friction;
-  int32_t *geom_contype, *geom_conaffinity, *geom_condim;
-  double *geom_margin, *geom_gap, *geom_solref, *geom_solimp, *geom_solmix;
-  int32_t* geom_priority;
-  int32_t* actuator_trnid;
-  double* actuator_gear;
-  uint8_t* actuator_ctrllimited;
-  double* actuator_ctrlrange;
-  int32_t *pair_geom1, *pair_geom2;
-  double *dof_invweight0, *body_invweight0;
-  char error[256];
-};
+extern "C" {
 
 static double* dalloc(size_t n) { return (double*)calloc(n ? n : 1, sizeof(double)); }
 static int32_t* ialloc(size_t n) { return (int32_t*)calloc(n ? n : 1, sizeof(int32_t)); }

@@ -54,3 +54,4 @@ def test_humanoid_mpc_frames_stay_upright():
     qpos = np.asarray(s.qpos)
     assert np.all(np.isfinite(qpos))
     assert qpos[2] > 1.2, qpos[2]           # still tall (starts ~1.4)
+

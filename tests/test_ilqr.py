@@ -98,3 +98,49 @@ def test_mpc_cost_trace_shape():
     out = jax.jit(lambda: mpc.run(env, 5))()
     assert out.cost_trace.shape == (5, env.ilqr.iterations)
     assert np.all(np.isfinite(np.asarray(out.cost_trace)))
+
+
+def test_config_flag_guards():
+    """Invalid flag combinations raise at construction instead of silently
+    misbehaving (control_limits with a limit-blind backward pass;
+    value_scaling silently ignored by the associative-scan backward)."""
+    import pytest
+    from ilqg_mujoco_tpu.ilqr import ILQRConfig
+    with pytest.raises(ValueError, match="control_limits"):
+        ILQRConfig(mode="compat", control_limits=True)
+    with pytest.raises(ValueError, match="control_limits"):
+        ILQRConfig(mode="tassa", backward="assoc", control_limits=True)
+    with pytest.raises(ValueError, match="value_scaling"):
+        ILQRConfig(mode="tassa", backward="assoc", value_scaling=True)
+    with pytest.raises(ValueError, match="mode"):
+        ILQRConfig(mode="bogus")
+    with pytest.raises(ValueError, match="backward"):
+        ILQRConfig(backward="bogus")
+    # valid combinations still construct
+    ILQRConfig(mode="tassa", control_limits=True)
+    ILQRConfig(mode="tassa", backward="assoc")
+    ILQRConfig(mode="tassa", value_scaling=True)
+
+
+def test_mpc_segment_frames_matches_single_program():
+    """segment_frames=k (host loop over one compiled k-frame program) is
+    numerically identical to the whole-run-as-one-scan path, including a
+    ragged final segment."""
+    env = envs.pendulum()
+    ref = jax.jit(lambda: mpc.run(env, 11))()
+    seg = mpc.run(env, 11, segment_frames=4)   # 4+4+3 (ragged tail)
+    # rtol 1e-9, atol 1e-13: the segment path compiles a DIFFERENT XLA
+    # program (4-frame scan) than the reference (11-frame scan); fusion/
+    # summation order may differ at the last few ulps depending on ambient
+    # compilation state (observed: exact solo, ~1e-14 absolute inside the
+    # full suite)
+    np.testing.assert_allclose(np.asarray(seg.env_states.qpos),
+                               np.asarray(ref.env_states.qpos),
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(seg.controls),
+                               np.asarray(ref.controls),
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(seg.cost_trace),
+                               np.asarray(ref.cost_trace),
+                               rtol=1e-9, atol=1e-13)
+    assert seg.step_cost.shape == (11,)

@@ -99,6 +99,52 @@ def test_compat_transpose_flag():
     np.testing.assert_allclose(np.asarray(a.B), np.asarray(b.B), rtol=1e-12)
 
 
+def test_scramble_B_matches_c_buffer_semantics():
+    """compat_scramble_B pins the reference's 1<nu<nv ctrl-Jacobian layout
+    bug by DIRECT simulation of the C code: write the flat buffer exactly as
+    the worker does (deriv[i + j*nu] = dqacc_j/dctrl_i,
+    src/mjderivative.cpp:107), read it back exactly as the column-major
+    Eigen Map<Matrix<nv,nu>> does (element (a,b) <- flat[a + b*nv],
+    inc/differentiator.h:22,59)."""
+    from ilqg_mujoco_tpu.ops.linearize import scramble_B
+    rng = np.random.default_rng(0)
+    for nv, nu in [(6, 3), (27, 21), (5, 2), (4, 1)]:
+        Ju = rng.standard_normal((nv, nu))
+        flat = np.zeros(nv * nu)
+        for i in range(nu):          # the worker's ctrl loop
+            for j in range(nv):
+                flat[i + j * nu] = Ju[j, i]
+        eigen_read = np.zeros((nv, nu))
+        for b in range(nu):          # column-major map read-back
+            for a in range(nv):
+                eigen_read[a, b] = flat[a + b * nv]
+        got = np.asarray(scramble_B(jnp.asarray(Ju)))
+        np.testing.assert_array_equal(got, eigen_read)
+        if nu == 1:
+            np.testing.assert_array_equal(got, Ju)   # no-op for the demo env
+
+
+def test_scramble_B_flag_wiring_hopper():
+    """On a 1<nu<nv model (hopper, nu=3) the flag must actually reach
+    _assemble: B's lower block with the flag on is exactly scramble_B of the
+    block with it off (and genuinely different)."""
+    from ilqg_mujoco_tpu.ops.linearize import scramble_B
+    env = envs.hopper()
+    m = env.model
+    s = make_state(m)
+    step = jax.jit(lambda st: fwd.step(m, st))
+    for _ in range(100):
+        s = step(s)
+    a = linearize_fd(m, s, env.cost_fn,
+                     LinearizeConfig(compat_scramble_B=False))
+    b = linearize_fd(m, s, env.cost_fn,
+                     LinearizeConfig(compat_scramble_B=True))
+    nv = m.nv
+    np.testing.assert_allclose(
+        np.asarray(b.B[nv:]), np.asarray(scramble_B(a.B[nv:])), rtol=1e-12)
+    assert np.abs(np.asarray(b.B[nv:]) - np.asarray(a.B[nv:])).max() > 1e-6
+
+
 def test_chunk_knots_matches_unchunked():
     """chunk_knots (the HBM-limiting path behind the 4096-instance runs) is
     numerically identical to the all-at-once pass, including a padded tail

@@ -58,9 +58,14 @@ class RefILQR:
     """ILQR<nv, nu, N> (/root/reference/inc/ilqr.h:14-188), numpy+mujoco."""
 
     def __init__(self, m, d_init, cost_fn, N, eps=1e-6, niter=30, nwarmup=3,
-                 mu=1000.0):
+                 mu=1000.0, scramble_B=False):
         self.m, self.N, self.cost = m, N, cost_fn
         self.eps, self.niter, self.nwarmup, self.mu = eps, niter, nwarmup, mu
+        # reproduce the reference's 1<nu<nv ctrl-Jacobian layout bug: the FD
+        # buffer is written row-major, deriv[i + j*nu] = dqacc_j/dctrl_i
+        # (src/mjderivative.cpp:107), and read back through a COLUMN-major
+        # Map<Matrix<nv,nu>> (inc/differentiator.h:22,59).  No-op for nu=1.
+        self.scramble_B = scramble_B
         nv, nu = m.nv, m.nu
         self.K = np.zeros((N + 1, nu, 2 * nv))
         self.k = np.zeros((N + 1, nu))
@@ -129,6 +134,9 @@ class RefILQR:
         # Eigen-map quirk: lower blocks are the TRANSPOSED Jacobians
         A = np.block([[eye, h * eye],
                       [h * Jq.T, eye + h * Jv.T]])
+        if self.scramble_B:
+            # row-major flat buffer re-read column-major (see __init__)
+            Ju = Ju.reshape(-1).reshape(nu, nv).T
         B = np.vstack([np.zeros((nv, nu)), h * Ju])
         return A, B, np.concatenate([gq, gv]), gu
 
@@ -181,6 +189,25 @@ class RefILQR:
             self.iterate(x0_snap)
             trace.append(self.traj_cost())
         return np.array(trace)
+
+
+def run_mpc_golden(m, d, cost_fn, N, iterations, frames, **ilqr_kw):
+    """Receding-horizon MPC loop on the C core, reference semantics
+    (InvertedPendulum::forward, src/inverted_pendulum/inverted_pendulum.cpp:
+    19-30): per frame re-solve from the current state (the long-lived ILQR
+    object keeps its trajectory/gains as warm start), apply the first
+    optimized control, advance the plant one mj_step.  Works on any model
+    (the reference's env class exists only for the pendulum; the loop itself
+    is model-independent).  Returns (qpos, ctrl) per frame, pre-step."""
+    ilqr = RefILQR(m, d, cost_fn, N, **ilqr_kw)
+    mpc_qpos, mpc_ctrl = [], []
+    for _ in range(frames):
+        ilqr.solve(_Snap.of(d), iterations)
+        d.ctrl[:] = ilqr.traj[0].ctrl
+        mpc_qpos.append(d.qpos.copy())
+        mpc_ctrl.append(d.ctrl.copy())
+        mujoco.mj_step(m, d)
+    return np.array(mpc_qpos), np.array(mpc_ctrl)
 
 
 def pendulum_cost(qpos, qvel, ctrl):

@@ -1,0 +1,82 @@
+"""Humanoid closed-loop balance run (BASELINE config 4): 200 MPC frames
+(1 simulated second at dt=0.005) through the full nq != nv pipeline, dumped
+as an npz artifact so the balance claim is verifiable offline
+(round-3 verdict weak #8 / next #6).
+
+Uses ``mpc.run(..., segment_frames=k)``: one compiled k-frame program driven
+from a host loop — the giant single-program scan crashed the tunneled TPU
+worker at this scale (docs/STATUS.md known gaps), the segmented form is the
+supported path.
+
+Usage (TPU):   python tools/humanoid_balance.py [out.npz]
+Env knobs: ILQG_HUM_FRAMES (200), ILQG_HUM_SEG (25), ILQG_HUM_HORIZON (30),
+ILQG_HUM_ITERS (3), ILQG_HUM_F64 (0|1: force x64 — CPU oracle runs).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+if os.environ.get("ILQG_HUM_F64", "0") == "1":
+    jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import dataclasses  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from ilqg_mujoco_tpu import mpc  # noqa: E402
+from ilqg_mujoco_tpu.models import envs  # noqa: E402
+
+
+def main():
+    frames = int(os.environ.get("ILQG_HUM_FRAMES", "200"))
+    seg = int(os.environ.get("ILQG_HUM_SEG", "25"))
+    horizon = int(os.environ.get("ILQG_HUM_HORIZON", "30"))
+    iters = int(os.environ.get("ILQG_HUM_ITERS", "3"))
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "humanoid_balance.npz"
+
+    env = envs.make("humanoid", mode="tassa", engine="ad")
+    env = dataclasses.replace(env, ilqr=dataclasses.replace(
+        env.ilqr, horizon=horizon, iterations=iters,
+        alphas=(1.0, 0.5, 0.1)))
+
+    t0 = time.time()
+    out = mpc.run(env, frames, segment_frames=seg)
+    qpos = np.asarray(out.env_states.qpos)
+    elapsed = time.time() - t0
+
+    height = qpos[:, 2]
+    # z-axis alignment of the torso from the free-joint quaternion (wxyz)
+    up = 1.0 - 2.0 * (qpos[:, 4] ** 2 + qpos[:, 5] ** 2)
+    summary = {
+        "frames": frames, "dt": float(env.model.opt.timestep),
+        "sim_seconds": frames * float(env.model.opt.timestep),
+        "horizon": horizon, "iterations": iters, "segment_frames": seg,
+        "height_min": float(height.min()), "height_max": float(height.max()),
+        "upright_min": float(up.min()),
+        "finite": bool(np.all(np.isfinite(qpos))),
+        "balanced": bool(np.all(height > 1.0) and np.all(up > 0.7)),
+        "wall_seconds": round(elapsed, 1),
+        "backend": jax.devices()[0].platform,
+    }
+    np.savez_compressed(
+        out_path,
+        qpos=qpos, qvel=np.asarray(out.env_states.qvel),
+        ctrl=np.asarray(out.controls),
+        step_cost=np.asarray(out.step_cost),
+        cost_trace=np.asarray(out.cost_trace),
+        summary=json.dumps(summary))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
