@@ -23,13 +23,18 @@ measured C-core baseline (same algorithm, same FD schedule); the default
 tassa+ad is the production path.  Per-phase breakdowns:
 tools/perf_breakdown.py.
 
-Methodology: the tunneled TPU adds a ~0.1 ms per-dispatch latency floor and
-occasionally stalls a single call for tens of ms, so a low-rep single trial
-under-measures device throughput by >10x (observed round 2: 0.75M vs the
-real ~100M iters/s at B=1024).  The timed region dispatches `reps`
-independent solves and fences once; `trials` such timings are taken and the
-best is reported (min-time is the standard high-variance-environment
-estimator: noise is strictly additive).
+Methodology (round-4 correction): `jax.block_until_ready` is NOT an
+execution fence on this image's axon tunnel — measured: it returns in
+~0.05 ms for a 1-GiB elementwise op whose value-fetch timing is ~29 ms
+(BENCH_NOTES.md round 4).  The timed region therefore CHAINS the solves
+(each call consumes the previous call's solver state, so call k+1 cannot
+produce a value before call k executes) and ends with a scalar VALUE fetch
+of the last trace, which transitively forces every chained solve to have
+actually executed on the device.  Chained solves do the same work as
+independent ones (fixed iteration counts, no early exit).  `trials` such
+timings are taken; best is reported with the full spread (min-time is the
+standard high-variance-environment estimator: noise is strictly additive,
+and the tunnel adds seconds-scale stalls when its worker is recovering).
 """
 
 import json
@@ -76,14 +81,27 @@ def main():
     sb, sols = pbatch.init_batched(env, batch, qpos_noise=0.01)
     solve = pbatch.make_batched_solve(env)
 
-    def timed_run():
-        sols2, traces = solve(sb, sols)
-        jax.block_until_ready(traces)
+    def timed_chain(n):
+        # chained timed region: call k+1 reads call k's solver state, and the
+        # final scalar fetch transitively proves every call executed (see
+        # module docstring: block_until_ready is not a fence on this tunnel)
+        cur = sols
         t0 = time.perf_counter()
-        for _ in range(reps):
-            sols2, traces = solve(sb, sols)
-        jax.block_until_ready(traces)
+        for _ in range(n):
+            cur, traces = solve(sb, cur)
+        float(jnp.sum(traces))
         return time.perf_counter() - t0
+
+    def timed_run():
+        # warm (compile) + force the value path once
+        sols2, traces = solve(sb, sols)
+        float(jnp.sum(traces))
+        # two-point estimator: the value fetch costs a fixed ~26 ms tunnel
+        # round-trip regardless of work; timing chains of length n and 2n
+        # and differencing eliminates that constant exactly
+        t_half = timed_chain(max(reps // 2, 1))
+        t_full = timed_chain(reps)
+        return t_half, t_full
 
     # the tunneled TPU occasionally drops a call with a transient
     # UNAVAILABLE device error; retry a few times.  Best-of-`trials` timings
@@ -103,8 +121,18 @@ def main():
                 break
             time.sleep(5.0)
 
-    total_iters = batch * env.ilqr.iterations * reps
-    rates = sorted(total_iters / t for t in times)
+    half = max(reps // 2, 1)
+    rates = []
+    for t_half, t_full in times:
+        diff = t_full - t_half
+        if diff > 0:
+            # floor-free per-call estimate from the chain-length difference
+            rates.append(batch * env.ilqr.iterations * (reps - half) / diff)
+        else:
+            # noise swamped the difference: fall back to the full chain
+            # including the fetch floor (under-reports; honest direction)
+            rates.append(batch * env.ilqr.iterations * reps / t_full)
+    rates.sort()
     rate = rates[-1]
     spread = {
         "min": round(rates[0], 2),

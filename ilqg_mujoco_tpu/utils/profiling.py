@@ -16,8 +16,27 @@ from typing import Dict
 import jax
 
 
+def fence(tree) -> None:
+    """Execution fence that is honest on remote/tunneled backends.
+
+    `jax.block_until_ready` is NOT a reliable execution fence on this
+    image's axon TPU tunnel (measured: returns in ~0.05 ms for a 1-GiB
+    elementwise op whose value-fetch timing is ~29 ms — BENCH_NOTES.md
+    round 4).  Fetching an actual VALUE cannot return early, so fence by
+    pulling one scalar from every array leaf (tiny transfer, forces the
+    producing computation to have executed)."""
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+# private alias: Timer.phase has a parameter named `fence`
+_fence_tree = fence
+
+
 class Timer:
-    """Named phase timers with block_until_ready fencing.
+    """Named phase timers with value-fetch fencing (see :func:`fence`).
 
     >>> t = Timer()
     >>> with t.phase("solve"):
@@ -37,9 +56,9 @@ class Timer:
             yield box
         finally:
             if "out" in box:
-                jax.block_until_ready(box["out"])
+                _fence_tree(box["out"])
             elif fence is not None:
-                jax.block_until_ready(fence)
+                _fence_tree(fence)
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

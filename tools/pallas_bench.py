@@ -97,7 +97,8 @@ def main():
     args = (A_b, B_b, gx_b, gu_b, d_b)
     Ks, ks_ = scan_f(*args)
     Kp, kp = pallas_f(*args)
-    jax.block_until_ready((Ks, Kp))
+    from ilqg_mujoco_tpu.utils.profiling import fence
+    fence((Ks, Kp))
     scale = float(jnp.max(jnp.abs(Ks)))
     err = jnp.abs(Kp - Ks) / scale
     print(f"on-device K agreement (relative to max|K|={scale:.1f}): "
@@ -112,7 +113,8 @@ def main():
             t0 = time.perf_counter()
             for _ in range(reps):
                 out = f(*args)
-            jax.block_until_ready(out)
+            fence(out)   # value-fetch fence: block_until_ready is not an
+                         # execution fence on the axon tunnel (BENCH_NOTES)
             t = (time.perf_counter() - t0) / reps
             best = t if best is None else min(best, t)
         return best

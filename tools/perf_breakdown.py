@@ -73,7 +73,8 @@ def main():
     roll = roll_f(sb, sols)
     ls = ls_f(sb, sols)
     full = full_f(sb, sols)
-    jax.block_until_ready((lin, bwd, roll, ls, full))
+    from ilqg_mujoco_tpu.utils.profiling import fence
+    fence((lin, bwd, roll, ls, full))
 
     t = Timer()
     for _ in range(reps):

@@ -76,16 +76,18 @@ def main():
     # per-space entries; take the total
     bytes_acc = float(ca.get("bytes accessed", 0.0))
 
-    # fenced timing (bench.py methodology: dispatch `reps`, fence once,
-    # best of `trials`)
+    # chained + value-fetch timing (bench.py round-4 methodology:
+    # block_until_ready is not an execution fence on the axon tunnel)
+    import jax.numpy as jnp
     out = compiled(sb, sols)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[1]))
     best = None
     for _ in range(trials):
+        cur = sols
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = compiled(sb, sols)
-        jax.block_until_ready(out)
+            cur, traces = compiled(sb, cur)
+        float(jnp.sum(traces))
         t = (time.perf_counter() - t0) / reps
         best = t if best is None else min(best, t)
 
