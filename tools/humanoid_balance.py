@@ -23,6 +23,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 
+if os.environ.get("ILQG_HUM_PLATFORM"):
+    # env-var JAX_PLATFORMS is ignored by this image's patched jax; the
+    # config update is the only reliable override
+    jax.config.update("jax_platforms", os.environ["ILQG_HUM_PLATFORM"])
 if os.environ.get("ILQG_HUM_F64", "0") == "1":
     jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
