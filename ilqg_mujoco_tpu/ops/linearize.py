@@ -88,6 +88,20 @@ class LinearizeConfig:
     # horizon tangent intermediates exceed HBM)
     chunk_knots: int = None
 
+    def __post_init__(self):
+        if self.engine not in ("fd", "ad", "exact"):
+            raise ValueError(f"unknown linearize engine {self.engine!r}")
+        if self.engine == "exact" and (self.compat_transpose_A
+                                       or self.compat_scramble_B):
+            # the compat flags reproduce the reference's Euler-ASSEMBLY
+            # buffer quirks (SURVEY.md §7.0.1); linearize_exact has no Euler
+            # assembly, so the flags would be a silent no-op — refuse loudly
+            # (mirrors ILQRConfig.__post_init__'s combination guards)
+            raise ValueError(
+                "compat_transpose_A/compat_scramble_B have no effect with "
+                "engine='exact' (no Euler assembly to transpose/scramble); "
+                "use engine='fd' or 'ad' for compat-layout linearization")
+
 
 class LinOut(NamedTuple):
     A: jnp.ndarray      # (..., 2nv, 2nv)
@@ -120,12 +134,28 @@ def _perturb_qpos(model: Model, qpos: jnp.ndarray, dof: int, eps):
 
 
 def _center(model: Model, state: State, cfg: LinearizeConfig) -> State:
-    """Warmed center evaluation: full forward + (nwarmup-1) repetitions with
-    the pinned solver, chaining the warmstart
-    (src/mjderivative.cpp:64-68)."""
-    s = state
-    for _ in range(max(cfg.nwarmup, 1)):
-        s = fwd.forward(model, s, iterations=cfg.niter, tolerance=0.0)
+    """Warmed center evaluation, replicating the reference's skip-stage
+    warmup economy literally (src/mjderivative.cpp:64-68): one full
+    ``mj_forward``, then (nwarmup-1) acc-stage-only repetitions — the
+    ``mj_forwardSkip(mjSTAGE_VEL)`` analog — chaining ``qacc_warmstart``
+    through the pinned solver.
+
+    Position/velocity stages are pure functions of (qpos, qvel), which the
+    warmup does not change, so re-running them (the rounds-1..4 behavior:
+    nwarmup *full* forwards) is bit-identical in output; this form also
+    skips them, matching the reference's cost profile on the warmup path
+    itself.  Equivalence is asserted by
+    tests/test_linearize.py::test_center_warmup_skip_equivalence."""
+    s = fwd.forward(model, state, iterations=cfg.niter, tolerance=0.0)
+    if cfg.nwarmup <= 1:
+        return s
+    pos = fwd.pos_stage(model, state.qpos)
+    vel = fwd.vel_stage(model, pos, state.qpos, state.qvel)
+    for _ in range(cfg.nwarmup - 1):
+        _, _, _, out = fwd.acc_stage(
+            model, pos, vel, state.ctrl, state.qfrc_applied,
+            state.xfrc_applied, s.qacc_warmstart, cfg.niter, 0.0)
+        s = s.replace(qacc=out.qacc, qacc_warmstart=out.qacc)
     return s
 
 

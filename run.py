@@ -8,7 +8,12 @@ Examples:
   python run.py pendulum --frames 100
   python run.py pendulum --solve-only
   python run.py hopper --frames 200 --mode tassa --engine ad --out hop.npz
+  python run.py tumbler --frames 20                     # nq!=nv env
+  python run.py pendulum --backward assoc --solve-only  # parallel Riccati
   python run.py pendulum --batch 256 --frames 50        # batched MPC
+  python run.py pendulum --batch 256 --mesh 4           # sharded over mesh
+  python run.py hopper --frames 50 --checkpoint ck.npz  # save at the end
+  python run.py hopper --frames 50 --resume ck.npz      # continue from it
   python run.py --platform cpu pendulum --frames 10     # force CPU
 """
 
@@ -22,14 +27,30 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("env", choices=["pendulum", "hopper", "humanoid"])
+    # env names are validated against envs.REGISTRY after the (lazy) jax
+    # import so the CLI surface can never drift from the library's
+    ap.add_argument("env", help="environment name (see models/envs.REGISTRY:"
+                                " pendulum|hopper|humanoid|tumbler)")
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--mode", choices=["compat", "tassa"], default=None)
     ap.add_argument("--engine", choices=["fd", "ad", "exact"], default=None)
+    ap.add_argument("--backward", choices=["scan", "assoc"], default=None,
+                    help="Riccati backward executor: sequential scan or "
+                         "associative-scan (O(log N) depth) parallel form")
     ap.add_argument("--solve-only", action="store_true",
                     help="run one iLQR solve and print the cost trace")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the batch over the first N devices "
+                         "(data-parallel Mesh; requires --batch > 1)")
+    ap.add_argument("--segment-frames", type=int, default=None,
+                    help="compile one k-frame program and drive it from a "
+                         "host loop (bounds XLA program size on huge runs)")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="write (env state, solver state) npz after the run")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="resume from a --checkpoint npz (skips warm-in)")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (e.g. cpu)")
     ap.add_argument("--x64", action="store_true", help="enable float64")
@@ -55,6 +76,11 @@ def main():
 
     from ilqg_mujoco_tpu import ilqr, mpc
     from ilqg_mujoco_tpu.models import envs
+    from ilqg_mujoco_tpu.utils import checkpoint
+
+    if args.env not in envs.REGISTRY:
+        ap.error(f"unknown env {args.env!r}; available: "
+                 f"{', '.join(sorted(envs.REGISTRY))}")
 
     kw = {}
     if args.mode:
@@ -68,6 +94,8 @@ def main():
         over["horizon"] = args.horizon
     if args.iters:
         over["iterations"] = args.iters
+    if args.backward:
+        over["backward"] = args.backward
     if args.control_limits:
         over["control_limits"] = True
     if args.value_scaling:
@@ -76,6 +104,7 @@ def main():
         env = dataclasses.replace(env,
                                   ilqr=dataclasses.replace(env.ilqr, **over))
     print(f"env={env.name} mode={env.ilqr.mode} engine={env.ilqr.lin.engine} "
+          f"backward={env.ilqr.backward} "
           f"N={env.ilqr.horizon} iters={env.ilqr.iterations} "
           f"devices={jax.devices()}")
 
@@ -94,8 +123,12 @@ def main():
 
     if args.batch > 1:
         from ilqg_mujoco_tpu.parallel import batch as pbatch
-        sb, sols = pbatch.init_batched(env, args.batch, qpos_noise=0.01)
-        stepf = pbatch.make_batched_mpc_step(env)
+        mesh = pbatch.make_mesh(args.mesh) if args.mesh else None
+        if mesh is not None:
+            print(f"mesh: {args.mesh} devices, data-parallel batch sharding")
+        sb, sols = pbatch.init_batched(env, args.batch, mesh=mesh,
+                                       qpos_noise=0.01)
+        stepf = pbatch.make_batched_mpc_step(env, mesh=mesh)
         t0 = time.perf_counter()
         costs_hist = []
         for i in range(args.frames):
@@ -113,14 +146,28 @@ def main():
             print("wrote", args.out)
         return
 
+    x0 = sol0 = None
+    if args.resume:
+        x0, sol0, extra = checkpoint.load(args.resume)
+        print(f"resumed from {args.resume} (t={float(x0.time):.3f})")
+
     t0 = time.perf_counter()
-    out = jax.jit(lambda: mpc.run(env, args.frames))()
+    if args.segment_frames:
+        # host-segmented: bounded program size; must run un-jitted
+        out = mpc.run(env, args.frames, x0=x0, sol0=sol0,
+                      segment_frames=args.segment_frames)
+    else:
+        out = jax.jit(lambda: mpc.run(env, args.frames, x0=x0, sol0=sol0))()
     jax.block_until_ready(out.step_cost)
     dt = time.perf_counter() - t0
     print(f"{args.frames} MPC frames in {dt:.2f}s (incl. compile)")
     qpos = np.asarray(out.env_states.qpos)
     print("final qpos:", qpos[-1].round(4))
     print("mean step cost:", float(np.mean(np.asarray(out.step_cost))))
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, out.final_state, out.final_sol,
+                        extra={"frames": args.frames})
+        print("checkpointed to", args.checkpoint)
     if args.out:
         np.savez(args.out, qpos=qpos, qvel=np.asarray(out.env_states.qvel),
                  ctrl=np.asarray(out.controls),

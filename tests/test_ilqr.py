@@ -144,3 +144,36 @@ def test_mpc_segment_frames_matches_single_program():
                                np.asarray(ref.cost_trace),
                                rtol=1e-9, atol=1e-13)
     assert seg.step_cost.shape == (11,)
+
+
+def test_segment_frames_under_jit_raises():
+    """segment_frames' host loop silently inlines into one giant XLA program
+    under a trace — exactly what the knob exists to avoid — so run() must
+    refuse (advisor finding)."""
+    import pytest
+    env = envs.pendulum()
+    with pytest.raises(ValueError, match="un-jitted"):
+        jax.jit(lambda: mpc.run(env, 8, segment_frames=4))()
+
+
+def test_checkpoint_resume_continues_exactly():
+    """5 frames + checkpoint npz roundtrip + 5 resumed frames == 10
+    uninterrupted frames (the final_state/final_sol carry is the exact
+    solver state, not a re-init)."""
+    import tempfile
+    from ilqg_mujoco_tpu.utils import checkpoint
+    env = envs.pendulum()
+    ref = jax.jit(lambda: mpc.run(env, 10))()
+    first = jax.jit(lambda: mpc.run(env, 5))()
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        checkpoint.save(f.name, first.final_state, first.final_sol)
+        x0, sol0, _ = checkpoint.load(f.name)
+    second = jax.jit(lambda: mpc.run(env, 5, x0=x0, sol0=sol0))()
+    # 5-frame and 10-frame scans are different XLA programs; allow last-ulp
+    # summation-order spread (same rationale as the segment_frames test)
+    np.testing.assert_allclose(np.asarray(second.env_states.qpos),
+                               np.asarray(ref.env_states.qpos[5:]),
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(second.controls),
+                               np.asarray(ref.controls[5:]),
+                               rtol=1e-9, atol=1e-13)

@@ -264,3 +264,52 @@ def test_quaternion_aware_perturbation_humanoid():
     assert fd.A.shape == (2 * m.nv, 2 * m.nv)
     np.testing.assert_allclose(np.asarray(fd.A), np.asarray(ad.A),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_center_warmup_skip_equivalence():
+    """The round-5 skip-stage warmup (_center: one full forward +
+    (nwarmup-1) acc-stage-only repetitions, the literal
+    mj_forwardSkip(mjSTAGE_VEL) analog of src/mjderivative.cpp:64-68) is
+    bit-identical to nwarmup FULL forwards (the rounds-1..4 form): the
+    warmup never changes qpos/qvel, so the skipped pos/vel stages are
+    recomputations of identical values."""
+    from ilqg_mujoco_tpu.ops.linearize import _center
+    env, s = _pendulum_state()
+    cfg = LinearizeConfig(nwarmup=3)
+    got = _center(env.model, s, cfg)
+    full = s
+    for _ in range(cfg.nwarmup):
+        full = fwd.forward(env.model, full, iterations=cfg.niter,
+                           tolerance=0.0)
+    np.testing.assert_array_equal(np.asarray(got.qacc),
+                                  np.asarray(full.qacc))
+    np.testing.assert_array_equal(np.asarray(got.qacc_warmstart),
+                                  np.asarray(full.qacc_warmstart))
+    # contact-rich model too (warmstart chaining actually matters there)
+    henv = envs.hopper()
+    hs = make_state(henv.model)
+    for _ in range(30):
+        hs = fwd.step(henv.model, hs)
+    got = _center(henv.model, hs, cfg)
+    full = hs
+    for _ in range(cfg.nwarmup):
+        full = fwd.forward(henv.model, full, iterations=cfg.niter,
+                           tolerance=0.0)
+    np.testing.assert_array_equal(np.asarray(got.qacc),
+                                  np.asarray(full.qacc))
+
+
+def test_exact_engine_rejects_compat_flags():
+    """compat_transpose_A/compat_scramble_B reproduce Euler-ASSEMBLY buffer
+    quirks; engine='exact' has no Euler assembly, so the combination is a
+    silent no-op — it must raise at construction (advisor finding)."""
+    with pytest.raises(ValueError, match="exact"):
+        LinearizeConfig(engine="exact", compat_transpose_A=True)
+    with pytest.raises(ValueError, match="exact"):
+        LinearizeConfig(engine="exact", compat_scramble_B=True)
+    with pytest.raises(ValueError, match="engine"):
+        LinearizeConfig(engine="bogus")
+    # valid combinations still construct
+    LinearizeConfig(engine="exact")
+    LinearizeConfig(engine="fd", compat_transpose_A=True,
+                    compat_scramble_B=True)
