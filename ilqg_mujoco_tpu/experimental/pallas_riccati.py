@@ -1,5 +1,17 @@
 """Pallas TPU kernel: fused batched compat-Riccati backward pass (nu=1).
 
+STATUS (round-5 decision, made on the round-3 measurements in
+BENCH_NOTES.md): formally EXPERIMENTAL, not on any production solve path.
+Measured: 14.5x faster than the *isolated* vmapped XLA scan over stored
+argument-layout linearizations, but ~100x slower than the same backward
+fused *inside* the whole-solve XLA program (which keeps carry and inputs in
+VMEM-internal layouts and pays no launch/packing cost).  At these matrix
+sizes whole-program fusion IS the speed-of-light path, so the kernel is
+kept only as (a) the fast path for genuinely-standalone backward passes
+over stored linearizations, and (b) the batch-on-lanes layout template —
+the same layout idea that drove the round-5 component-form rewrite of
+physics/spatial.py.
+
 The backward recursion (ilqr.backward_pass_compat — the reference algorithm,
 /root/reference/inc/ilqr.h:133-176) is a reverse scan whose per-step math is
 tiny dense algebra (n = 2nv <= 8 for the reference's complete env).  Under

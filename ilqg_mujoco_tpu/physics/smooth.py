@@ -160,18 +160,21 @@ def kinematics(model: Model, qpos: jnp.ndarray) -> KinOut:
                else jnp.zeros((0, 3), dt))
     xaxis = (jnp.stack(xaxis) if model.njnt else jnp.zeros((0, 3), dt))
 
-    # inertial frames and spatial inertias
-    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, c(model.body_ipos))
-    ximat = xmat @ spatial.quat_to_mat(c(model.body_iquat))
+    # inertial frames and spatial inertias.  mat3_mul/mat3_vec (component
+    # form) instead of @/einsum: tiny batched dot_generals force 57x
+    # tile-padded layout copies under the batched AD linearizer (see
+    # spatial.mat3_mul)
+    xipos = xpos + spatial.mat3_vec(xmat, c(model.body_ipos))
+    ximat = spatial.mat3_mul(xmat, spatial.quat_to_mat(c(model.body_iquat)))
     inertia = spatial.spatial_inertia(
         c(model.body_mass), c(model.body_inertia), xipos, ximat)
 
     # geoms
     geom_xpos = (xpos[model.geom_bodyid]
-                 + jnp.einsum("gij,gj->gi", xmat[model.geom_bodyid],
-                              c(model.geom_pos)))
-    geom_xmat = xmat[model.geom_bodyid] @ spatial.quat_to_mat(
-        c(model.geom_quat))
+                 + spatial.mat3_vec(xmat[model.geom_bodyid],
+                                    c(model.geom_pos)))
+    geom_xmat = spatial.mat3_mul(xmat[model.geom_bodyid],
+                                 spatial.quat_to_mat(c(model.geom_quat)))
 
     # mass matrix: M = sum_b (mask_b * S)^T I_b (mask_b * S)  -- one einsum
     mask = c(model.dof_mask)                       # (nbody, nv)

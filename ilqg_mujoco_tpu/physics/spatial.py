@@ -62,17 +62,25 @@ def quat_rotate_inv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion -> 3x3 rotation matrix (…,3,3)."""
+    """Quaternion -> 3x3 rotation matrix (…,3,3).
+
+    Assembled as row stacks, NOT stack(…,9).reshape(…,3,3): under heavily
+    batched forward-mode AD the reshape forces an XLA layout-change copy
+    whose destination has the (3,3) dims minormost — padded 57x onto
+    (8,128)/T(4,128) TPU tiles (the round-4 single-chip OOM root cause;
+    see the round-5 note in BENCH_NOTES.md).  Pure stacks/concatenates let
+    XLA keep batch-minor layouts (measured 1.1x)."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    r = jnp.stack(
-        [
-            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
-            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
-            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
-        ],
-        axis=-1,
-    )
-    return r.reshape(q.shape[:-1] + (3, 3))
+    r0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        axis=-1)
+    r1 = jnp.stack(
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        axis=-1)
+    r2 = jnp.stack(
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        axis=-1)
+    return jnp.stack([r0, r1, r2], axis=-2)
 
 
 def axis_angle_to_quat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
@@ -139,11 +147,42 @@ def quat_sub(qa: jnp.ndarray, qb: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:
-    """Cross-product matrix [v]x, (…,3) -> (…,3,3)."""
+    """Cross-product matrix [v]x, (…,3) -> (…,3,3).
+
+    Row-stack assembly (no reshape) for the same TPU-layout reason as
+    quat_to_mat: the stack(…,9)->reshape(…,3,3) form materialized a 57x
+    tile-padded copy under the batched AD linearizer."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
     zero = jnp.zeros_like(x)
-    m = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], axis=-1)
-    return m.reshape(v.shape[:-1] + (3, 3))
+    r0 = jnp.stack([zero, -z, y], axis=-1)
+    r1 = jnp.stack([z, zero, -x], axis=-1)
+    r2 = jnp.stack([-y, x, zero], axis=-1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def mat3_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(…,3,3) @ (…,3,3) as explicit component arithmetic.
+
+    TPU rationale: XLA lowers tiny batched dot_generals by copying both
+    operands into layouts with the contracted dims minormost; with leading
+    batch dims in the 10^5 range those copies pad 57x onto TPU tiles and
+    were the round-4 OOM wall.  Component mul/add keeps the whole product
+    elementwise-fusible with batch-minor layouts (MXU is irrelevant at 3x3:
+    the matmul is 45 FLOP against a 4000x-below-ridge workload,
+    tools/roofline.py)."""
+    rows = []
+    for i in range(3):
+        rows.append(jnp.stack(
+            [sum(a[..., i, k] * b[..., k, j] for k in range(3))
+             for j in range(3)], axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def mat3_vec(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(…,3,3) @ (…,3) in component form (see mat3_mul for why)."""
+    return jnp.stack(
+        [sum(a[..., i, k] * v[..., k] for k in range(3)) for i in range(3)],
+        axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -178,11 +217,43 @@ def spatial_inertia(mass, inertia_diag, com, rot) -> jnp.ndarray:
       I = [[ I_c + m*Sc*Sc^T ,  m*Sc ],
            [ m*Sc^T          ,  m*1  ]]
     where Sc = skew(com) and I_c = R diag(inertia) R^T.
+
+    Fully component-form (no dot_general, no reshape, no skew temps):
+    under the batched AD linearizer the matrix-algebra form materialized
+    four ~4G layout-copy temps padded 56.9x onto TPU tiles — 21.7G of the
+    22.6G round-4 OOM at B=16384 (XLA allocation dump, BENCH_NOTES.md
+    round 5).  Using Sc Sc^T = |c|^2 I - c c^T and assembling the 6x6 with
+    row stacks keeps every intermediate elementwise-fusible; XLA then picks
+    batch-minor layouts (measured 1.1x padding) for the assembled output.
     """
-    ic = rot @ (inertia_diag[..., :, None] * jnp.swapaxes(rot, -1, -2))
-    sc = skew(com)
-    m = mass[..., None, None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=com.dtype), sc.shape)
-    top = jnp.concatenate([ic + m * sc @ jnp.swapaxes(sc, -1, -2), m * sc], axis=-1)
-    bot = jnp.concatenate([m * jnp.swapaxes(sc, -1, -2), m * eye], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    d = tuple(inertia_diag[..., k] for k in range(3))
+    r = [[rot[..., a, b] for b in range(3)] for a in range(3)]
+    cx, cy, cz = com[..., 0], com[..., 1], com[..., 2]
+    m = mass
+    c = (cx, cy, cz)
+    c2 = cx * cx + cy * cy + cz * cz
+
+    def ic(a, b):
+        return sum(d[k] * r[a][k] * r[b][k] for k in range(3))
+
+    def tl(a, b):
+        t = ic(a, b) - m * c[a] * c[b]
+        return t + m * c2 if a == b else t
+
+    z = jnp.zeros_like(m * cx)
+    tr = [[z, -m * cz, m * cy],
+          [m * cz, z, -m * cx],
+          [-m * cy, m * cx, z]]
+    rows = []
+    for a in range(3):
+        rows.append(jnp.stack(
+            [tl(a, 0), tl(a, 1), tl(a, 2),
+             tr[a][0], tr[a][1], tr[a][2]], axis=-1))
+    mm = jnp.broadcast_to(m, z.shape) if m.shape != z.shape else m
+    for a in range(3):
+        br = [z, z, z]
+        br[a] = mm
+        rows.append(jnp.stack(
+            [tr[0][a], tr[1][a], tr[2][a],
+             br[0], br[1], br[2]], axis=-1))
+    return jnp.stack(rows, axis=-2)

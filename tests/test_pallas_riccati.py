@@ -11,7 +11,7 @@ import numpy as np
 from ilqg_mujoco_tpu import ilqr
 from ilqg_mujoco_tpu.models import envs
 from ilqg_mujoco_tpu.ops.linearize import linearize_traj
-from ilqg_mujoco_tpu.ops.pallas_riccati import backward_compat_batched
+from ilqg_mujoco_tpu.experimental.pallas_riccati import backward_compat_batched
 from ilqg_mujoco_tpu.physics.model import make_state
 
 

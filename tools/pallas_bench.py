@@ -28,7 +28,7 @@ import numpy as np  # noqa: E402
 from ilqg_mujoco_tpu import ilqr  # noqa: E402
 from ilqg_mujoco_tpu.models import envs  # noqa: E402
 from ilqg_mujoco_tpu.ops.linearize import linearize_traj  # noqa: E402
-from ilqg_mujoco_tpu.ops.pallas_riccati import backward_compat_batched  # noqa: E402
+from ilqg_mujoco_tpu.experimental.pallas_riccati import backward_compat_batched  # noqa: E402
 from ilqg_mujoco_tpu.physics.model import make_state  # noqa: E402
 
 
