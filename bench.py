@@ -71,10 +71,16 @@ MIN_BATCH = {"pendulum": 1024, "hopper": 256, "humanoid": 8, "tumbler": 256}
 
 
 def auto_chunk(env_name: str, batch: int):
-    """chunk_knots policy: bound the AD-tangent working set (tiny trailing
-    dims pad up to 57x on TPU tiles — BENCH_NOTES.md round 4)."""
+    """chunk_knots policy, re-tuned after the round-5 component-form
+    rewrite removed the 57x tile padding: HBM no longer binds at these
+    batches; the remaining ceiling is the tunnel's tpu_compile_helper,
+    which crashes (deterministically) on fused linearizations above
+    ~350k knot-instances (BENCH_NOTES.md round 5).  Policy keeps
+    batch*chunk safely under that boundary."""
     if env_name == "pendulum":
-        return 2 if batch >= 16384 else None
+        if batch <= 16384:
+            return None                  # whole-horizon, unchunked
+        return 8 if batch <= 32768 else 4
     if env_name == "humanoid":
         return 8
     return 8 if batch >= 4096 else None

@@ -21,16 +21,17 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 DEFAULT_SWEEP = [
-    # production path (tassa+ad): batch scaling, chunked vs unchunked
+    # production path (tassa+ad): batch scaling along the round-5 feasible
+    # frontier (unchunked to 16384; compile-helper bound above, see
+    # BENCH_NOTES.md round 5)
     {"batch": 8192},
     {"batch": 16384},
-    {"batch": 32768},
-    {"batch": 65536},
-    {"batch": 65536, "chunk": 2},
-    {"batch": 131072},
+    {"batch": 32768, "chunk": 8},
+    {"batch": 65536, "chunk": 4},
+    {"batch": 65536, "chunk": 2},     # round-4 config, for the A/B
     # apples-to-apples vs the C core (same algorithm + FD schedule)
     {"batch": 8192, "mode": "compat", "engine": "fd"},
-    {"batch": 65536, "mode": "compat", "engine": "fd"},
+    {"batch": 65536, "mode": "compat", "engine": "fd", "chunk": 4},
 ]
 
 
