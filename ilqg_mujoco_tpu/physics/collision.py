@@ -23,6 +23,18 @@ import numpy as np
 
 from .model import (GEOM_BOX, GEOM_CAPSULE, GEOM_PLANE, GEOM_SPHERE, Model)
 
+
+def _dot3(a, b):
+    """3-vector dot as mul+sum, not jnp.dot: under the batched AD
+    linearizer a dot_general on tiny contracted dims forces 57x tile-padded
+    layout copies (see spatial.mat3_mul); mul+reduce stays fusible."""
+    return (a * b).sum(-1)
+
+
+def _matvec3(m, v):
+    """(3,3) @ (3,) in component form (same rationale as _dot3)."""
+    return jnp.stack([(m[..., i, :] * v).sum(-1) for i in range(3)], axis=-1)
+
 _BIG = 1e10
 
 
@@ -66,7 +78,7 @@ def _axis_tangents(n, axis):
     is NaN and jnp.where cannot mask NaN cotangents (0·NaN = NaN), which
     poisoned grads of any pose with a plane-normal capsule (e.g. the upright
     hopper)."""
-    proj = axis - n * jnp.dot(n, axis)
+    proj = axis - n * _dot3(n, axis)
     ok = jnp.sum(proj * proj) > 1e-20
     psafe = jnp.where(ok, proj, jnp.asarray([1.0, 0, 0], n.dtype))
     tm1, tm2 = _make_tangents(n)
@@ -77,7 +89,7 @@ def _axis_tangents(n, axis):
 
 def _plane_sphere(ppos, pmat, c, r):
     n = pmat[:, 2]
-    dist = jnp.dot(n, c - ppos) - r
+    dist = _dot3(n, c - ppos) - r
     pos = c - n * (r + 0.5 * dist)
     return dist, pos, n
 
@@ -86,9 +98,9 @@ def _seg_seg_closest(p1, d1, hl1, p2, d2, hl2):
     """Closest points between segments (p ± hl*d), d unit."""
     r = p1 - p2
     a = 1.0
-    b = jnp.dot(d1, d2)
-    f = jnp.dot(d2, r)
-    cdot = jnp.dot(d1, r)
+    b = _dot3(d1, d2)
+    f = _dot3(d2, r)
+    cdot = _dot3(d1, r)
     denom = a - b * b
     # parallel-safe
     s = jnp.where(jnp.abs(denom) > 1e-12,
@@ -159,8 +171,8 @@ def collide(model: Model, geom_xpos, geom_xmat) -> Contacts:
                     [hx if i & 1 else -hx,
                      hy if i & 2 else -hy,
                      hz if i & 4 else -hz], dt)
-                corner = p2 + R2 @ loc
-                d = jnp.dot(n, corner - p1)
+                corner = p2 + _matvec3(R2, loc)
+                d = _dot3(n, corner - p1)
                 pos = corner - n * (0.5 * d)
                 add(g1, g2, d, pos, n)
         elif t1g == GEOM_SPHERE and t2g == GEOM_SPHERE:
@@ -168,7 +180,7 @@ def collide(model: Model, geom_xpos, geom_xmat) -> Contacts:
             add(g1, g2, d, pos, n)
         elif t1g == GEOM_SPHERE and t2g == GEOM_CAPSULE:
             axis = R2[:, 2]
-            t = jnp.clip(jnp.dot(p1 - p2, axis),
+            t = jnp.clip(_dot3(p1 - p2, axis),
                          -float(s2[1]), float(s2[1]))
             c2 = p2 + t * axis
             d, pos, n = _sphere_sphere(p1, float(s1[0]), c2, float(s2[0]))
@@ -184,7 +196,7 @@ def collide(model: Model, geom_xpos, geom_xmat) -> Contacts:
             a1, a2 = R1[:, 2], R2[:, 2]
             hl1, hl2 = float(s1[1]), float(s2[1])
             r1, r2 = float(s1[0]), float(s2[0])
-            b = jnp.dot(a1, a2)
+            b = _dot3(a1, a2)
             # MuJoCo's parallel test is den < mjMINVAL(=1e-15)·len1²·len2²;
             # with unit axes that is 1-b² < 1e-15.  We widen it per-dtype so
             # rotation round-off of genuinely parallel axes still triggers it.
@@ -192,12 +204,12 @@ def collide(model: Model, geom_xpos, geom_xmat) -> Contacts:
             par = (1.0 - b * b) < tol
             cg1, cg2 = _seg_seg_closest(p1, a1, hl1, p2, a2, hl2)
             # overlap interval of segment 2 projected onto segment 1's axis
-            proj = jnp.dot(p2 - p1, a1)
+            proj = _dot3(p2 - p1, a1)
             lo = jnp.clip(proj - jnp.abs(b) * hl2, -hl1, hl1)
             hi = jnp.clip(proj + jnp.abs(b) * hl2, -hl1, hl1)
             for slot, sp in enumerate((lo, hi)):
                 cp1 = p1 + sp * a1
-                cp2 = p2 + jnp.clip(jnp.dot(cp1 - p2, a2), -hl2, hl2) * a2
+                cp2 = p2 + jnp.clip(_dot3(cp1 - p2, a2), -hl2, hl2) * a2
                 e1 = jnp.where(par, cp1, cg1)
                 e2 = jnp.where(par, cp2, cg2)
                 d, pos, n = _sphere_sphere(e1, r1, e2, r2)

@@ -171,9 +171,20 @@ def make_efc_pos(model: Model, kin: KinOut, qpos: jnp.ndarray,
                                             (ncon, model.nv, 3)),
                            contacts.pos[:, None, :]))          # (ncon,nv,3)
         Jp = c(maskdiff)[:, :, None] * lin
-        Jnrm = jnp.einsum("cnk,ck->cn", Jp, contacts.frame[:, 0])
-        Jt1 = jnp.einsum("cnk,ck->cn", Jp, contacts.frame[:, 1])
-        Jt2 = jnp.einsum("cnk,ck->cn", Jp, contacts.frame[:, 2])
+        # component form, not einsum: contracting k=3 with a dot_general
+        # forces XLA layout copies with the tiny dims minormost — 57x
+        # tile-padded temps under the batched AD linearizer (same root
+        # cause as the round-5 spatial.py rewrite, see spatial.mat3_mul)
+        fr = contacts.frame                                 # (ncon, 3, 3)
+
+        def proj(axis):                                     # axis: (ncon, 3)
+            return (Jp[..., 0] * axis[:, 0:1]
+                    + Jp[..., 1] * axis[:, 1:2]
+                    + Jp[..., 2] * axis[:, 2:3])
+
+        Jnrm = proj(fr[:, 0])
+        Jt1 = proj(fr[:, 1])
+        Jt2 = proj(fr[:, 2])
 
         margin_c = np.asarray(contacts.margin)
         gap_c = np.asarray(contacts.gap)
