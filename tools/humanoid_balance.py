@@ -45,17 +45,47 @@ def main():
     frames = int(os.environ.get("ILQG_HUM_FRAMES", "200"))
     seg = int(os.environ.get("ILQG_HUM_SEG", "25"))
     horizon = int(os.environ.get("ILQG_HUM_HORIZON", "30"))
-    iters = int(os.environ.get("ILQG_HUM_ITERS", "3"))
+    iters = int(os.environ.get("ILQG_HUM_ITERS", "5"))
+    alphas = os.environ.get("ILQG_HUM_ALPHAS", "")
     out_path = sys.argv[1] if len(sys.argv) > 1 else "humanoid_balance.npz"
 
     env = envs.make("humanoid", mode="tassa", engine="ad")
-    env = dataclasses.replace(env, ilqr=dataclasses.replace(
-        env.ilqr, horizon=horizon, iterations=iters,
-        alphas=(1.0, 0.5, 0.1)))
+    over = {"horizon": horizon, "iterations": iters}
+    if alphas:
+        over["alphas"] = tuple(float(a) for a in alphas.split(","))
+    env = dataclasses.replace(env,
+                              ilqr=dataclasses.replace(env.ilqr, **over))
 
+    # drive the segments by hand (what mpc.run(segment_frames=seg) does
+    # internally) so progress is visible per segment and a fall aborts early
+    import jax as _jax
     t0 = time.time()
-    out = mpc.run(env, frames, segment_frames=seg)
+    s0, sol0 = mpc.init(env)
+    segf = _jax.jit(lambda s, sol: mpc._scan_frames(env, seg, s, sol))
+    carry, outs = (s0, sol0), []
+    done = 0
+    while done < frames:
+        carry, o = segf(*carry)
+        outs.append(o)
+        done += seg
+        h = np.asarray(o[0].qpos[:, 2])
+        print(f"  frames {done - seg}..{done}: height "
+              f"{h.min():.3f}..{h.max():.3f}  "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        if h.min() < 0.9:
+            print("  fell — aborting remaining segments", flush=True)
+            break
+    import jax.numpy as jnp
+
+    def cat(i):
+        return _jax.tree_util.tree_map(
+            lambda *a: np.asarray(jnp.concatenate(a)[:frames]),
+            *[o[i] for o in outs])
+
+    out = mpc.MPCOut(env_states=cat(0), controls=cat(1), cost_trace=cat(2),
+                     step_cost=cat(3))
     qpos = np.asarray(out.env_states.qpos)
+    frames = qpos.shape[0]               # may be shorter after an abort
     elapsed = time.time() - t0
 
     height = qpos[:, 2]
