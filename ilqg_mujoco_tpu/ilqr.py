@@ -490,21 +490,39 @@ def iterate_tassa(model: Model, cost_fn: CostFn, x0: State,
     bwd = (backward_pass_assoc if cfg.backward == "assoc"
            else backward_pass_tassa)
     K, k, dV1, dV2, ok = bwd(model, sol.traj, lin, cost_fn, sol.mu, cfg)
-    cost0 = _traj_cost(cost_fn, sol.traj)
 
+    # Receding-horizon rebase (round-5 fix): the acceptance baseline is the
+    # alpha=0 (feedback-only, k suppressed) rollout FROM THE CURRENT x0 —
+    # not the cost of the stored trajectory.  Under MPC the stored
+    # trajectory starts at the PREVIOUS frame's state; comparing fresh
+    # candidates against that stale cost rejects every step whenever the
+    # state has drifted somewhere genuinely worse (measured: the humanoid
+    # balance runs applied |u| = 0 for 130 straight frames while the trace
+    # sat frozen at the frame-0 rollout cost — a pure ballistic fall).
+    # When x0 == traj[0] (plain solve) the alpha=0 rollout reproduces the
+    # stored trajectory bit-exactly (x == x* along the path => u == u*), so
+    # non-MPC behavior is unchanged.
     cand = ILQRState(traj=sol.traj, K=K, k=k, mu=sol.mu)
-    alphas = jnp.asarray(cfg.alphas, sol.k.dtype)
+    alphas = jnp.concatenate([jnp.zeros((1,), sol.k.dtype),
+                              jnp.asarray(cfg.alphas, sol.k.dtype)])
     trajs = jax.vmap(lambda a: forward_pass(model, x0, cand, cfg, alpha=a))(
         alphas)
     costs = jax.vmap(lambda t: _traj_cost(cost_fn, t))(trajs)
-    best = jnp.argmin(costs)
+    # baseline: rebased rollout when finite, else the stale stored cost
+    # (an unstable-feedback rebase must not poison the solver state)
+    cost_stale = _traj_cost(cost_fn, sol.traj)
+    rebase_ok = jnp.isfinite(costs[0])
+    cost0 = jnp.where(rebase_ok, costs[0], cost_stale)
+    best = jnp.argmin(costs[1:]) + 1
     improved = ok & (costs[best] < cost0)
 
-    new_traj = jax.tree_util.tree_map(
-        lambda cands, old: jnp.where(
-            improved, cands[best],
-            jnp.broadcast_to(old, cands[best].shape)),
-        trajs, sol.traj)
+    sel = jnp.where(improved, best, jnp.where(rebase_ok, 0, -1))
+
+    def pick(cands, old):
+        keep = jnp.broadcast_to(old, cands[0].shape)
+        return jnp.where(sel >= 0, cands[jnp.maximum(sel, 0)], keep)
+
+    new_traj = jax.tree_util.tree_map(pick, trajs, sol.traj)
     mu_new = jnp.where(
         improved,
         jnp.maximum(sol.mu / cfg.mu_factor, cfg.mu_min),

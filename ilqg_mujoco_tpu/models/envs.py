@@ -90,11 +90,19 @@ def humanoid(mode: str = "tassa", engine: str = "ad") -> Env:
     centered, with velocity and ctrl penalties."""
     model = _load("humanoid.xml")
 
+    qpos0_joints = jnp.asarray(model.qpos0[7:])
+
     def cost(qpos, qvel, ctrl):
         up = 1.0 - 2.0 * (qpos[4] ** 2 + qpos[5] ** 2)  # z-axis alignment
         return (50.0 * (qpos[2] - 1.4) ** 2
                 + 20.0 * (1.0 - up) ** 2
                 + 1.0 * (qpos[0] ** 2 + qpos[1] ** 2)
+                # posture hold: without it the receding 0.15 s horizon lets
+                # the knees yield ~0.5 mm/frame — a slow-motion collapse the
+                # height term alone doesn't arrest until too late (measured,
+                # round-5 balance runs); pulling joints toward qpos0
+                # opposes the sag directly
+                + 2.0 * jnp.sum((qpos[7:] - qpos0_joints) ** 2)
                 + 0.05 * jnp.sum(qvel ** 2)
                 + 1e-3 * jnp.sum(ctrl ** 2))
 

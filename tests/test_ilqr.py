@@ -177,3 +177,38 @@ def test_checkpoint_resume_continues_exactly():
     np.testing.assert_allclose(np.asarray(second.controls),
                                np.asarray(ref.controls[5:]),
                                rtol=1e-9, atol=1e-13)
+
+
+def test_tassa_mpc_rebases_on_state_drift():
+    """Round-5 regression test: under MPC the tassa acceptance baseline must
+    be the feedback rollout from the CURRENT state, and the stored
+    trajectory must be rebased onto it even when no candidate improves.
+
+    Pre-fix behavior: cost0 was the STALE stored trajectory's cost; from a
+    drifted, genuinely-worse state every candidate exceeded it, so the
+    solver rejected everything, kept a trajectory rooted at the old state,
+    and emitted frozen controls (measured on the humanoid: |u| = 0 for 130
+    straight frames of ballistic collapse)."""
+    import dataclasses
+    env = envs.pendulum()
+    env = dataclasses.replace(env, ilqr=dataclasses.replace(
+        env.ilqr, mode="tassa", iterations=3,
+        lin=dataclasses.replace(env.ilqr.lin, engine="ad")))
+    s0, sol0 = mpc.init(env)
+    f = jax.jit(lambda s, so: ilqr.solve(env.model, env.cost_fn, s, so,
+                                         env.ilqr))
+    sol1, tr1 = f(s0, sol0)
+    # drift the env state somewhere strictly worse than the solved traj
+    s_bad = s0.replace(qpos=s0.qpos + jnp.asarray([0.4, 0.9]),
+                       qvel=s0.qvel + 1.0)
+    sol2, tr2 = f(s_bad, sol1)
+    # the stored trajectory is rooted at the NEW state regardless of
+    # accept/reject (pre-fix it stayed rooted at s0 on rejection)
+    np.testing.assert_allclose(np.asarray(sol2.traj.qpos[0]),
+                               np.asarray(s_bad.qpos), rtol=0, atol=0)
+    # the reported trace reflects rollouts from s_bad, not the stale cost
+    assert float(tr2[0]) > float(tr1[-1])
+    # plain-solve invariance: re-solving from the SAME state reproduces the
+    # stored trajectory through the alpha=0 baseline bit-exactly when no
+    # step improves (the trace is monotone non-increasing either way)
+    assert np.all(np.diff(np.asarray(tr2)) <= 1e-6)

@@ -49,8 +49,13 @@ def main():
     alphas = os.environ.get("ILQG_HUM_ALPHAS", "")
     out_path = sys.argv[1] if len(sys.argv) > 1 else "humanoid_balance.npz"
 
-    env = envs.make("humanoid", mode="tassa", engine="ad")
+    engine = os.environ.get("ILQG_HUM_ENGINE", "ad")
+    env = envs.make("humanoid", mode="tassa", engine=engine)
     over = {"horizon": horizon, "iterations": iters}
+    if os.environ.get("ILQG_HUM_LIMITS", "0") == "1":
+        # boxQP backward pass: respect the ±0.4 ctrlrange the asset
+        # declares (the humanoid motors are all ctrllimited)
+        over["control_limits"] = True
     if alphas:
         over["alphas"] = tuple(float(a) for a in alphas.split(","))
     env = dataclasses.replace(env,
@@ -69,9 +74,17 @@ def main():
         outs.append(o)
         done += seg
         h = np.asarray(o[0].qpos[:, 2])
+        sol = carry[1]
+        u = np.asarray(o[1])
         print(f"  frames {done - seg}..{done}: height "
-              f"{h.min():.3f}..{h.max():.3f}  "
+              f"{np.nanmin(h):.3f}..{np.nanmax(h):.3f}  "
+              f"max|u|={np.abs(u).max():.3f} "
+              f"max|K|={np.abs(np.asarray(sol.K)).max():.2e} "
+              f"mu={float(np.asarray(sol.mu)):.2e}  "
               f"({time.time() - t0:.0f}s)", flush=True)
+        if np.isnan(h).any():
+            print("  NaN state — aborting remaining segments", flush=True)
+            break
         if h.min() < 0.9:
             print("  fell — aborting remaining segments", flush=True)
             break
