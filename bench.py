@@ -62,12 +62,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp
 
-# per-env default batch (advisor finding: the 65536 default + chunk policy
-# was tuned on the pendulum; hopper/humanoid have far larger per-instance
-# working sets and OOM at it)
-DEFAULT_BATCH = {"pendulum": 65536, "hopper": 8192, "humanoid": 64,
-                 "tumbler": 8192}
-MIN_BATCH = {"pendulum": 1024, "hopper": 256, "humanoid": 8, "tumbler": 256}
+# per-env default batch.  Round-5 re-tune under the corrected fence: the
+# measured per-call cost is ~LINEAR in B (aggregate throughput is flat in
+# B — per-op overhead/padding-bound at these tiny-trailing-dim layouts,
+# BENCH_NOTES round 5), so large batches multiply bench wall time without
+# raising the headline; B=4096 measures the same rate in minutes.
+DEFAULT_BATCH = {"pendulum": 4096, "hopper": 1024, "humanoid": 16,
+                 "tumbler": 1024}
+MIN_BATCH = {"pendulum": 256, "hopper": 64, "humanoid": 4, "tumbler": 64}
 
 
 def auto_chunk(env_name: str, batch: int):
@@ -153,8 +155,8 @@ def main():
     env_name = os.environ.get("ILQG_BENCH_ENV", "pendulum")
     batch = int(os.environ.get("ILQG_BENCH_BATCH", "0")) or \
         DEFAULT_BATCH.get(env_name, 8192)
-    reps = int(os.environ.get("ILQG_BENCH_REPS", "20"))
-    trials = int(os.environ.get("ILQG_BENCH_TRIALS", "5"))
+    reps = int(os.environ.get("ILQG_BENCH_REPS", "4"))
+    trials = int(os.environ.get("ILQG_BENCH_TRIALS", "3"))
     mode = os.environ.get("ILQG_BENCH_MODE", "tassa")
     engine = os.environ.get("ILQG_BENCH_ENGINE", "ad")
     chunk_env = os.environ.get("ILQG_BENCH_CHUNK", "")

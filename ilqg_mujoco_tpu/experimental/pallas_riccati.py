@@ -1,16 +1,16 @@
 """Pallas TPU kernel: fused batched compat-Riccati backward pass (nu=1).
 
-STATUS (round-5 decision, made on the round-3 measurements in
-BENCH_NOTES.md): formally EXPERIMENTAL, not on any production solve path.
-Measured: 14.5x faster than the *isolated* vmapped XLA scan over stored
-argument-layout linearizations, but ~100x slower than the same backward
-fused *inside* the whole-solve XLA program (which keeps carry and inputs in
-VMEM-internal layouts and pays no launch/packing cost).  At these matrix
-sizes whole-program fusion IS the speed-of-light path, so the kernel is
-kept only as (a) the fast path for genuinely-standalone backward passes
-over stored linearizations, and (b) the batch-on-lanes layout template —
-the same layout idea that drove the round-5 component-form rewrite of
-physics/spatial.py.
+STATUS (round-5, REVISED under the corrected fence): EXPERIMENTAL scope
+(nu=1) but measured FASTER than every XLA alternative for the backward
+pass.  Corrected-fence numbers (tools/pallas_bench.py, B=8192, f32):
+kernel 1.12 ms vs isolated XLA scan 10.83 ms — 9.65x.  The round-3 claim
+that in-situ whole-solve fusion was ~100x faster than this kernel was an
+artifact of the non-fencing block_until_ready (it timed dispatch, not
+execution; the real whole solve is ~2 s/iteration at this batch —
+BENCH_NOTES.md round 5).  The batch-on-lanes layout (instances on lanes,
+matrix elements as separate tiles) is the measured direction for the
+whole solve path; the round-5 component-form rewrite of
+physics/spatial.py applies the same principle inside XLA fusion.
 
 The backward recursion (ilqr.backward_pass_compat — the reference algorithm,
 /root/reference/inc/ilqr.h:133-176) is a reverse scan whose per-step math is

@@ -313,10 +313,15 @@ def backward_pass_tassa(model: Model, traj: State, lin: LinOut,
         mu_eff = mu * inv_s
         if cfg.value_scaling:
             # once s dwarfs mu the true LM shift underflows in normalized
-            # space; a machine-epsilon-relative floor (||Vxx_hat|| ~ 1 by
-            # construction) keeps Quu_reg factorizable without perturbing
-            # any ratio representable in the working precision
-            mu_eff = mu_eff + jnp.asarray(10.0, dt) * jnp.finfo(dt).eps
+            # space; a machine-epsilon-relative floor keeps Quu_reg
+            # factorizable without perturbing any ratio representable in
+            # the working precision.  The floor is RELATIVE to ||Quu||
+            # (round-5 fix): an absolute 10*eps floor against a
+            # near-singular Quu produced K ~ Qux/eps ~ 1e6, whose
+            # K^T Quu K overflowed f32 inside one step — see the
+            # saturation note below
+            mu_eff = mu_eff + (jnp.asarray(10.0, dt) * jnp.finfo(dt).eps
+                               * jnp.maximum(jnp.max(jnp.abs(Quu)), 1.0))
         Quu_reg = Quu + mu_eff * jnp.eye(nu, dtype=dt)
         if cfg.control_limits:
             # control-limited step (Tassa/Mansard/Todorov ICRA 2014): k from
@@ -344,6 +349,19 @@ def backward_pass_tassa(model: Model, traj: State, lin: LinOut,
         dV1 = dV1 + (k @ Qu) * jnp.exp(log_s)
         dV2 = dV2 + 0.5 * (k @ (Quu @ k)) * jnp.exp(log_s)
         if cfg.value_scaling:
+            # saturate BEFORE rescaling: if the transport overflowed to inf
+            # within this one step (giant gains against a stiff-contact A),
+            # c = inf and Vxx/c = inf/inf = NaN — which then poisons every
+            # earlier knot's gains (measured on the humanoid balance runs:
+            # max|K| = NaN from the second MPC frame on).  Saturated
+            # entries distort only steps the linesearch was going to
+            # reject anyway; the carry stays finite so the solver can
+            # recover when mu escalates.
+            big = float(jnp.finfo(dt).max) / 16
+            sat = lambda a: jnp.clip(jnp.nan_to_num(
+                a, nan=0.0, posinf=big, neginf=-big), -big, big)
+            Vx_n = sat(Vx_n)
+            Vxx_n = sat(Vxx_n)
             c = jnp.maximum(jnp.max(jnp.abs(Vxx_n)), 1.0)
             Vx_n = Vx_n / c
             Vxx_n = Vxx_n / c

@@ -85,6 +85,18 @@ def _solve_qacc_jvp(iterations, tolerance, ls_iterations, primals, tangents):
     act = (jar < 0) & (D > 0)
     Deff = jnp.where(act, D, 0.0)
     H = M + J.T @ (Deff[:, None] * J)
+    # dtype-relative ridge (round-5): at deeply-penetrating states the
+    # contact-stiffened H has cond ~ 1/eps_f32 and the pure-JAX Cholesky
+    # hits a negative pivot -> NaN, which poisoned A, B at isolated
+    # trajectory knots and through them every earlier knot's gains
+    # (measured on the humanoid balance runs: max|K| = NaN while the
+    # primal trajectory stayed finite).  The ridge caps the condition
+    # number at ~1/ridge_rel; it perturbs tangents ~ridge_rel relatively,
+    # far below the FD-vs-AD cross-check tolerances (1e-4) and below f64
+    # golden resolution in x64 mode.
+    ridge_rel = 1e-6 if H.dtype == jnp.float32 else 1e-12
+    dmax = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H))), 1.0)
+    H = H + (ridge_rel * dmax) * jnp.eye(H.shape[0], dtype=H.dtype)
     Hfac = linalg.cholesky(H)
     dR = (dM @ (x - qacc_smooth) - M @ dqs
           + dJ.T @ (Deff * jar)
