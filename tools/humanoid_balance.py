@@ -115,6 +115,12 @@ def main():
         "wall_seconds": round(elapsed, 1),
         "backend": jax.devices()[0].platform,
     }
+    if not summary["balanced"]:
+        # never leave a non-balanced run at the committed artifact path —
+        # tests/test_balance_artifact.py asserts on whatever sits there
+        # (round-5 lesson: a failed attempt's npz leaked into the tree and
+        # failed CI); keep the data for diagnosis under a .failed suffix
+        out_path = str(out_path) + ".failed.npz"
     np.savez_compressed(
         out_path,
         qpos=qpos, qvel=np.asarray(out.env_states.qvel),
@@ -123,6 +129,7 @@ def main():
         cost_trace=np.asarray(out.cost_trace),
         summary=json.dumps(summary))
     print(json.dumps(summary))
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
